@@ -1,13 +1,400 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SpanChunker
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data ops), each with an equivalent DuckDB
+  * SQL oracle where the operator is SQL-expressible (others get the
+  * driver's rows-only check and are verified engine-vs-oracle in ScalaTest
+  * instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Tiny demo gazetteer over the synthetic corpus vocabulary, used only by
+    * the DuckDB-checkable mention/cooccurrence/entity queries (the real KG
+    * pipeline runs on the interleaved spans corpus with the fixture
+    * gazetteer; see graft.fixtures.Fixtures).
+    */
+  private val demoGaz: Seq[(String, String)] = Seq(
+    ("spark", "PRODUCT"), ("customer", "GROUP"), ("window", "PRODUCT"),
+    ("table", "PRODUCT"), ("stream", "PRODUCT"), ("partition", "PRODUCT"),
+    ("merge", "EVENT"), ("shuffle", "EVENT"))
+
+  private def gazValuesSql: String =
+    demoGaz.map { case (n, t) => s"('$n','$t')" }.mkString(", ")
+
+  private def docsPath(dir: String) = s"$dir/documents.parquet"
+  private def embPath(dir: String) = s"$dir/embeddings.parquet"
+
+  private def gazDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    demoGaz.toDF("name", "type")
+  }
+
+  /** Substring mention detection (the reference containment semantics,
+    * pipeline.py:369-384: entity appears in chunk iff lower(name) in
+    * lower(text)) with occurrence counts and first position.
+    */
+  private def mentionsDf(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(docsPath(dir))
+    docs.crossJoin(broadcast(gazDf(s)))
+      .where(instr(col("text"), col("name")) > 0)
+      .select(col("doc_id"), col("name"), col("type"),
+        instr(col("text"), col("name")).cast("int").as("first_pos"),
+        ((length(col("text")) -
+          length(call_function("replace", col("text"), col("name"), lit("")))) /
+          length(col("name"))).cast("int").as("mention_count"))
+  }
+
+  private val mentionsSql =
+    s"""WITH gaz(name, type) AS (VALUES $gazValuesSql)
+       |SELECT d.doc_id, g.name, g.type,
+       |  CAST(strpos(d.text, g.name) AS INT) AS first_pos,
+       |  CAST((length(d.text) - length(replace(d.text, g.name, ''))) /
+       |       length(g.name) AS INT) AS mention_count
+       |FROM documents d CROSS JOIN gaz g
+       |WHERE strpos(d.text, g.name) > 0""".stripMargin
+
+  /** The synthetic-corpus KG pipeline, memoized per session (several
+    * queries expose different output tables of the same run).
+    */
+  private val kgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
+
+  private def kg(s: SparkSession, nDocs: Long): Pipeline.Result =
+    kgCache.computeIfAbsent(s.hashCode() + ":" + nDocs, _ => {
+      val r = Pipeline.runSynth(s, nDocs, seed = 42L,
+        cfg = SpanChunker.Config(200, 40))
+      r.edges.persist(); r.nodes.persist(); r.mentionsFinal.persist()
+      r
+    })
+
+  private def kgDocs(dir: String): Long =
+    sys.env.get("SPARK_GRAFT_KG_DOCS").map(_.toLong).getOrElse {
+      if (dir.contains("sf0.1")) 20000L
+      else if (dir.contains("sf0.01")) 2000L
+      else 400L
+    }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full KG construction pipeline's canonical temporal triples.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kg(spark, 400L).edges
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / scale ops over the TPC-H-ish tables ---------------
+    "q_agg_pushdown" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q_broadcast_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+    }),
+    "q_window_top_order" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("top_price"))
+    }),
+    // ---- temporal operators (SURVEY §2.7) over events --------------------
+    "q_asof_latest" -> ((s, dir) => {
+      // as-of/current-version semantics (versioning.py:102-161): latest
+      // event per user at-or-before the cutoff
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+    }),
+    "q_time_range_counts" -> ((s, dir) => {
+      // get_chunks_modified_in_range analogue (versioning.py:163-200)
+      s.read.parquet(s"$dir/events.parquet")
+        .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }),
+    // ---- KG-shaped extraction ops over documents -------------------------
+    "q_mentions" -> ((s, dir) => mentionsDf(s, dir)),
+    "q_entities" -> ((s, dir) => {
+      mentionsDf(s, dir)
+        .groupBy(col("name"), col("type"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          sum(col("mention_count")).as("total_mentions"))
+    }),
+    "q_cooccur" -> ((s, dir) => {
+      val m = mentionsDf(s, dir).select(col("doc_id"), col("name"))
+      val a = m.select(col("doc_id"), col("name").as("name1"))
+      val b = m.select(col("doc_id").as("d2"), col("name").as("name2"))
+      a.join(b, col("doc_id") === col("d2") && col("name1") < col("name2"))
+        .groupBy(col("name1"), col("name2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 10)
+    }),
+    "q_triples" -> ((s, dir) => {
+      // pattern relation extraction demo: first "X merge Y" per doc
+      s.read.parquet(docsPath(dir))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "(\\w+) merge (\\w+)", 1).as("subj"),
+          lit("merge").as("pred"),
+          regexp_extract(col("text"), "(\\w+) merge (\\w+)", 2).as("obj"))
+        .where(col("subj") =!= "" && col("obj") =!= "")
+    }),
+    // ---- dedup suite ------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(docsPath(dir)))
+        .select("content_md5", "dup_count", "canonical_doc_id")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(s.read.parquet(docsPath(dir)), n = 5,
+        threshold = 0.8)),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(s.read.parquet(docsPath(dir)), n = 5,
+        numHashes = 64, bands = 16, threshold = 0.7)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDup(s.read.parquet(docsPath(dir)), maxHamming = 3)),
+    "q_emb_neardup" -> ((s, dir) => {
+      // label-blocked exact cosine near-dup (blocking = the label column).
+      // the corpus has no true near-dups, so seed deterministic scaled
+      // copies (cosine is scale-invariant -> exact hits) of vec_id < 20
+      val base = s.read.parquet(embPath(dir))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val pert = base.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          transform(col("emb"), x => x * lit(1.01)).as("emb"))
+      val all = base.union(pert)
+      val a = all.select(col("label"), col("vec_id").as("id1"),
+        col("emb").as("e1"))
+      val b = all.select(col("label").as("l2"), col("vec_id").as("id2"),
+        col("emb").as("e2"))
+      a.join(b, col("label") === col("l2") && col("id1") < col("id2"))
+        .withColumn("cosine", round(Similarity.cosineCol(col("e1"), col("e2")), 4))
+        .where(col("cosine") >= 0.999)
+        .select("id1", "id2", "cosine")
+    }),
+    // ---- similarity search ------------------------------------------------
+    "q_ann_brute" -> ((s, dir) => {
+      val e = s.read.parquet(embPath(dir))
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      // order on the 4dp-rounded score so ranking ties break identically
+      // across engines (double-vs-float accumulation differs below 4dp)
+      Similarity.bruteForceTopK(e, q, k = 10, excludeId = Some(0L), roundTo = 4)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(embPath(dir))
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e, q, k = 10, planes = 8)
+    }),
+    // ---- text analysis ----------------------------------------------------
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(docsPath(dir)))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(s.read.parquet(docsPath(dir)))),
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(docsPath(dir)))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
+        .select("doc_id", "content_md5")),
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))),
+    // ---- KG construction pipeline (north rule; oracle = SerialOracle in
+    // ScalaTest, so rows-only here) -----------------------------------------
+    "kg_edges" -> ((s, dir) => kg(s, kgDocs(dir)).edges),
+    "kg_nodes" -> ((s, dir) => kg(s, kgDocs(dir)).nodes),
+    "kg_mentions" -> ((s, dir) => kg(s, kgDocs(dir)).mentionsFinal),
+    "kg_chunks" -> ((s, dir) => kg(s, kgDocs(dir)).chunks.toDF()
+      .select(col("chunk_id"), col("doc_id"), col("chunk_index"),
+        col("token_count"), size(col("spans")).as("n_spans"))),
+    // ---- multimodal plumbing (decode is a documented stub) ----------------
+    "q_media_features" -> ((s, dir) => {
+      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
+        .select("doc_id", "media_ref", "kind", "byte_len", "width",
+          "height", "n_frames")
+    }))
+
+  /** DuckDB oracle SQL per query (same column names — the driver sorts
+    * columns by name before hashing). Omitted keys (minhash, simhash, lsh,
+    * rolling-hash, the kg_ pipeline tables, media) are non-SQL-expressible
+    * or depend on engine-side hashing; they are verified against the
+    * serial oracle in ScalaTest and get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 4) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) WHERE rn = 1""".stripMargin,
+    "q_asof_latest" ->
+      """SELECT user_id, event_id, event_type, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1""".stripMargin,
+    "q_time_range_counts" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q_mentions" -> mentionsSql,
+    "q_entities" ->
+      s"""WITH m AS ($mentionsSql)
+         |SELECT name, type, count(DISTINCT doc_id) AS doc_freq,
+         |  CAST(sum(mention_count) AS BIGINT) AS total_mentions
+         |FROM m GROUP BY 1, 2""".stripMargin,
+    "q_cooccur" ->
+      s"""WITH m AS ($mentionsSql)
+         |SELECT a.name AS name1, b.name AS name2, count(*) AS n_docs
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+    "q_triples" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '(\w+) merge (\w+)', 1) AS subj,
+        |  'merge' AS pred,
+        |  regexp_extract(text, '(\w+) merge (\w+)', 2) AS obj
+        |FROM documents
+        |WHERE regexp_extract(text, '(\w+) merge (\w+)', 1) <> ''
+        |  AND regexp_extract(text, '(\w+) merge (\w+)', 2) <> ''""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, count(*) AS dup_count,
+        |  min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 4, 0) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+        |  FROM toks),
+        |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, n, unnest(s) AS shingle FROM sized),
+        |capped AS (
+        |  SELECT * FROM inv WHERE shingle IN (
+        |    SELECT shingle FROM inv GROUP BY 1 HAVING count(*) <= 1000)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |    any_value(a.n) AS n1, any_value(b.n) AS n2
+        |  FROM capped a JOIN capped b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, inter,
+        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin,
+    "q_emb_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS vec_id, label,
+        |    list_transform(emb, x -> x * 1.01) AS emb
+        |  FROM base WHERE vec_id < 20),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |  round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) AS cosine
+        |FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) >= 0.999""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(CAST(list_cosine_similarity(
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |    AS DOUBLE), 4) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_lang_id" -> langIdSql,
+    "q_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(len(t), 1), 6)
+        |    AS avg_token_len,
+        |  round(CAST(length(text) - length(regexp_replace(text,
+        |      '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+        |    greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(t,
+        |      x -> lower(x) IN ('the','a','and','of','to','in','is'))) AS DOUBLE) /
+        |    greatest(len(t), 1), 6) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(t)) AS DOUBLE) /
+        |    greatest(len(t), 1), 6) AS type_token_ratio
+        |FROM p""".stripMargin,
+    "q_token_count" ->
+      ("""WITH p AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '""".stripMargin +
+        graft.ops.TextAnalysis.BpeishPattern.replace("'", "''") +
+        """')) AS n_subwords
+        |FROM p""".stripMargin),
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin)
+
+  private def langIdSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val s = words.map { w =>
+        s"CAST((length(padded) - length(replace(padded, ' $w ', ''))) / ${w.length + 2} AS INT)"
+      }.mkString(" + ")
+      (lang, s)
+    }
+    val totalExpr = scores.map(_._2).mkString(" + ")
+    val structs = scores.map { case (lang, s) =>
+      s"{'score': $s, 'lang': '$lang'}"
+    }.mkString(", ")
+    // argmax by (score, lang): sort the struct list ascending, take last —
+    // same tie-break as the Spark side's greatest(struct(score, lang))
+    s"""WITH p AS (
+       |  SELECT doc_id, lang AS lang_meta,
+       |    ' ' || array_to_string(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')
+       |      || ' ' AS padded
+       |  FROM documents)
+       |SELECT doc_id, lang_meta, $totalExpr AS marker_hits,
+       |  list_sort([$structs])[-1].lang AS lang_pred
+       |FROM p""".stripMargin
+  }
 }

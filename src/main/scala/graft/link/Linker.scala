@@ -1,0 +1,110 @@
+package graft.link
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Schema._
+import graft.text.Tok
+
+/** Entity linking: blocking-key candidate generation + char-ngram cosine +
+  * Jaro-Winkler verdicts — the scalable re-expression of the reference's
+  * 3-stage dedup (entity_deduplication.py:233-383) with identical
+  * thresholds (settings.py:100-120) under the documented
+  * use_llm_validation=false contract (entity_deduplication.py:214-222):
+  *
+  *   stage 1 (blocking): reference materializes the full N×N cosine matrix
+  *     and keeps per-entity top-10 same-type pairs with sim >= 0.85*0.8
+  *     (entity_deduplication.py:233-297). At 10^12-doc scale an N×N product
+  *     is impossible, so candidates come from a self-join on blocking keys,
+  *     then the same per-entity top-10 / >=0.68 rule is applied via a
+  *     row_number window.
+  *   stage 2: Jaro-Winkler >= 0.7*0.8 or cosine >= 0.95
+  *     (entity_deduplication.py:299-327).
+  *   stage 3 (no-LLM verdict): accept iff cosine >= 0.85 AND JW >= 0.7.
+  *
+  * Ties in the top-10 ranking break on the partner's entity_id ascending
+  * (deterministic equivalent of the reference's stable argsort order).
+  */
+object Linker {
+
+  /** Aggregate mentions into the entity table, keyed (name, type) — the
+    * store-level identity of the reference (graph/operations.py:173,336) —
+    * with a deterministic id = sha256(name|type) (SURVEY §7.4.4).
+    * One shuffle; hot entities (a company mentioned in every chunk) are
+    * handled by Spark's map-side partial aggregation.
+    */
+  def entities(mentions: DataFrame): DataFrame =
+    mentions
+      .groupBy(col("entity_name").as("name"), col("entity_type"))
+      .agg(
+        sum(col("mention_count")).as("mention_count"),
+        min(col("valid_from")).as("first_seen"),
+        max(col("valid_from")).as("last_seen"))
+      .withColumn("entity_id",
+        sha2(concat_ws("|", col("name"), col("entity_type")), 256))
+
+  private val simplifyLowerUdf = udf { (name: String) =>
+    Tok.simplifyEntityName(name).toLowerCase
+  }
+
+  val cosineUdf = udf { (n1: String, n2: String) => NameFeatures.cosine(n1, n2) }
+  val jwUdf = udf { (n1: String, n2: String) => JaroWinkler.similarity(n1, n2) }
+
+  /** Candidate generation via blocking keys. Input must have columns
+    * (entity_id, name, entity_type). Output: (id1, name1, id2, name2,
+    * entity_type, emb_sim) with id1 < id2 and emb_sim >= threshold*slack,
+    * capped at maxCandidates per id1 (reference blocking contract).
+    *
+    * Key families: (type, first simplified token) and (type, 4-char prefix)
+    * catch org/person alias variants; (type, 4-char suffix) catches
+    * value-typed variants (dates differing in year, amounts differing in
+    * leading digits). Buckets larger than maxBucketSize are dropped — a hot
+    * key would make the self-join quadratic at scale; frequency-capped
+    * blocking trades bounded compute for a bounded, documented recall loss
+    * on ultra-dense buckets.
+    */
+  def candidates(entities: DataFrame, maxBucketSize: Long = 10000L): DataFrame = {
+    val e = entities
+      .select(col("entity_id"), col("name"), col("entity_type"))
+      .withColumn("simp", simplifyLowerUdf(col("name")))
+    val keyedAll = e.select(col("entity_id"), col("name"), col("entity_type"),
+      explode(array_distinct(array(
+        concat_ws("|", col("entity_type"), split(col("simp"), " ").getItem(0)),
+        concat_ws("|", col("entity_type"), substring(col("simp"), 1, 4)),
+        concat_ws("|", col("entity_type"), substring(col("simp"), -4, 4))
+      ))).as("bkey"))
+    val bucketCounts = keyedAll.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bcount"))
+    val keyed = keyedAll.join(bucketCounts, Seq("bkey"))
+      .where(col("bcount") <= lit(maxBucketSize))
+      .drop("bcount")
+    val a = keyed.select(col("bkey").as("k1"), col("entity_id").as("id1"),
+      col("name").as("name1"), col("entity_type"))
+    val b = keyed.select(col("bkey").as("k2"), col("entity_id").as("id2"),
+      col("name").as("name2"))
+    val blockSlack = Const.EmbThreshold * Const.BlockingSlack
+    val pairs = a.join(b, col("k1") === col("k2") && col("id1") < col("id2"))
+      .select(col("id1"), col("name1"), col("id2"), col("name2"), col("entity_type"))
+      .distinct()
+      .withColumn("emb_sim", cosineUdf(col("name1"), col("name2")))
+      .where(col("emb_sim") >= lit(blockSlack))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("emb_sim").desc, col("id2").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= Const.MaxCandidatesPerEntity)
+      .drop("rn")
+  }
+
+  /** Stages 2+3: JW filter then the no-LLM accept rule. Output: validated
+    * duplicate pairs (id1, id2, emb_sim, str_sim).
+    */
+  def verdicts(candidatePairs: DataFrame): DataFrame =
+    candidatePairs
+      .withColumn("str_sim", jwUdf(col("name1"), col("name2")))
+      .where(col("str_sim") >= lit(Const.StrThreshold * Const.BlockingSlack) ||
+        col("emb_sim") >= lit(Const.HighEmbBypass))
+      .where(col("emb_sim") >= lit(Const.EmbThreshold) &&
+        col("str_sim") >= lit(Const.StrThreshold))
+      .select("id1", "id2", "emb_sim", "str_sim")
+}

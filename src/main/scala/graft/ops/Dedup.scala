@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline, over a
+  * documents table (doc_id, text, ...).
+  *
+  * Scale design notes (100 TB posture):
+  *   - exact dedup is one hash-groupBy shuffle on a 16-byte key;
+  *   - near-dup methods NEVER do an all-pairs product: candidate pairs come
+  *     from an inverted shingle index (Jaccard), LSH band buckets (MinHash),
+  *     or Hamming band buckets (SimHash) — the standard sub-quadratic
+  *     blocking constructions;
+  *   - every pair generator emits (id1 < id2) so downstream joins/groupBys
+  *     shuffle once on the pair key;
+  *   - all hashing is xxhash64/crc32/md5 column functions — codegen'd,
+  *     deterministic, no UDFs.
+  */
+object Dedup {
+
+  private def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles of the lowercased text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + lit(n) <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** Exact dedup: group by md5(text); canonical = min(doc_id); emits only
+    * groups with >1 member (the duplicate sets).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(count(lit(1)).as("dup_count"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+      .where(col("dup_count") > 1)
+
+  /** N-gram Jaccard near-dup: inverted-index self-join on shingles →
+    * per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
+    * Sub-quadratic as long as shingle doc-frequency is bounded; ultra-hot
+    * shingles (df > maxShingleDf) are dropped from the index, the standard
+    * frequency cap (they contribute negligible Jaccard evidence but
+    * quadratic pairs).
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.6,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("s"))
+    val dfCap = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= lit(maxShingleDf))
+    val capped = inv.join(dfCap, Seq("s")).drop("df")
+    val a = capped.select(col("s"), col("doc_id").as("id1"), col("sh_size").as("n1"))
+    val b = capped.select(col("s").as("s2"), col("doc_id").as("id2"), col("sh_size").as("n2"))
+    a.join(b, col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id1", "id2", "inter", "jaccard")
+  }
+
+  /** MinHash signature: numHashes permutation-approximations, the i-th
+    * permutation realized as the seeded combined hash xxhash64(shingle, i)
+    * (hash composition instead of an affine transform — identical
+    * independence properties, and no long-multiply overflow under ANSI
+    * mode). Pure column space: transform/array_min, no UDF, one narrow
+    * projection per doc.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * pairs; estimated Jaccard = fraction of equal signature positions;
+    * keep pairs >= threshold. bands must divide numHashes.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 4, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(col("text"), n, numHashes).as("sig"))
+      .where(size(shingles(col("text"), n)) > 0)
+      .persist()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, rows),
+              x => x.cast("string")))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    val pairs = l.join(r,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+          (a, b) => a === b), x => x)).cast("double") / lit(numHashes), 6))
+      .where(col("est_jaccard") >= lit(threshold))
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash near-dup: fingerprint via the native SimHash64 Catalyst
+    * expression (whole-stage codegen'd, graft.functions.SimHash64), then
+    * band the 64-bit hash into 4×16-bit keys (pigeonhole: any pair within
+    * Hamming distance 3 shares at least one exact band); candidates sharing
+    * a band are verified with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(col("text")).as("sim"))
+      .persist()
+    val banded = withSim.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"),
+      col("sim").as("sim1"))
+    val r = banded.select(col("band").as("b2"), col("key").as("k2"),
+      col("doc_id").as("id2"), col("sim").as("sim2"))
+    l.join(r, col("band") === col("b2") && col("key") === col("k2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sim1"), col("sim2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+      .where(col("hamming") <= lit(maxHamming))
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Embedding-cosine near-dup over (vec_id, embedding array<float>):
+    * within-bucket pairs only. Buckets come from sign-LSH (random
+    * hyperplanes from a deterministic seed) so the join is sub-quadratic;
+    * cosine is exact on the candidates. See Similarity.signLsh.
+    */
+  def embeddingNearDup(embeddings: DataFrame, planes: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val withBucket = embeddings.select(col("vec_id"),
+      col("embedding"), Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val r = withBucket.select(col("bucket").as("bk2"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    l.join(r, col("bucket") === col("bk2") && col("id1") < col("id2"))
+      .withColumn("cosine", round(Similarity.cosineCol(col("e1"), col("e2")), 6))
+      .where(col("cosine") >= lit(threshold))
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over a
+  * documents table (doc_id, text, ...). Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in the hot path) so filters
+  * and projections stay inside WholeStageCodegen and push down to the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (split on runs of whitespace). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword proxy: alnum runs (with apostrophes) and single
+    * punctuation marks — the same class regex as the engine tokenizer
+    * (graft.text.Tok), written lookaround-free so the identical pattern
+    * runs on RE2-based engines (DuckDB oracle).
+    */
+  val BpeishPattern = "[A-Za-z0-9']+|[^\\sA-Za-z0-9']"
+
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Token counting per doc: whitespace tokens, distinct tokens, BPE-ish
+    * subword count.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).as("n_tokens"),
+      size(array_distinct(wsTokens(col("text")))).as("n_distinct_tokens"),
+      bpeishCount(col("text")).as("n_subwords"))
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, inline (a gazetteer of function
+    * words — the classic cheap language identifier).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  /** Language ID: score = count of marker-word hits per language over the
+    * whitespace tokens; predicted language = argmax, ties broken by
+    * language code ascending (deterministic). Pure column algebra —
+    * one pass, no shuffle, no UDF.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = lower(concat(lit(" "),
+      concat_ws(" ", wsTokens(lower(col("text")))), lit(" ")))
+    val scores = langMarkers.map { case (lang, words) =>
+      val s = words.map { w =>
+        // occurrence count of " w " in the padded token string
+        ((length(toks) - length(replace(toks, lit(s" $w "), lit("")))) /
+          lit(w.length + 2)).cast("int")
+      }.reduce(_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    // argmax with tie-break: max on (score, reversed-lang) then unwrap
+    val best = greatest(scores.map(s =>
+      struct(s.getField("score").as("score"),
+        // invert lang bytes so that ties pick the ASCIIbetically smallest
+        s.getField("lang").as("lang"))): _*)
+    docs.select(col("doc_id"), col("lang").as("lang_meta"),
+      scores.map(s => s.getField("score")).reduce(_ + _).as("marker_hits"),
+      best.getField("lang").as("lang_pred"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * type-token ratio — the standard cheap quality features; `quality` is
+    * a deterministic [0,1] score combining them. Ratios are rounded to 6dp
+    * so results are engine-portable (oracle-comparable).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopHits = stopwords.map(w =>
+      size(filter(toks, t => lower(t) === lit(w)))).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nChar.cast("double") / greatest(nTok, lit(1)), 6).as("avg_token_len"),
+      round(punct.cast("double") / greatest(nChar, lit(1)), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1)), 6)
+        .as("type_token_ratio"))
+  }
+
+  /** Document fingerprints: md5 content hash (exact-dedup key) and a
+    * 64-bit rolling hash over whitespace tokens — order-sensitive (token
+    * swaps change it) and whitespace/casing-robust — computed with
+    * `aggregate` folding xxhash64(acc, token) (hash chaining; no raw
+    * multiply, so ANSI-mode safe).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val rolling = aggregate(
+      toks,
+      lit(1469598103934665603L), // FNV offset basis as seed
+      (acc, t) => xxhash64(acc, t))
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      rolling.as("rolling_hash"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.synth
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.Schema._
+import graft.fixtures.Fixtures
+import graft.text.Tok
+
+/** Deterministic synthetic interleaved-document corpus (seed-driven; no
+  * external data), standing in for the 10^12-doc Iceberg corpus of the
+  * north rule. Content shape mirrors ECT-QA earnings-call records
+  * (reference ingestion/ectqa_loader.py:6-18,142-200): company/person/
+  * location names from the fixture gazetteer, quarter metadata, text spans
+  * interleaved with opaque media spans.
+  *
+  * Generation is per-doc pure (`genDoc`), so the Spark path distributes via
+  * `spark.range(n).mapPartitions` with zero driver-side state — the same
+  * generator scales to any doc count on a real cluster.
+  */
+object CorpusSynth {
+
+  /** SplitMix64 — tiny deterministic RNG, identical on every JVM. */
+  final class Rng(seed0: Long) {
+    private var state = seed0
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = {
+      val r = nextLong() >>> 1
+      (r % bound).toInt
+    }
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
+  }
+
+  private def mix(seed: Long, docIdx: Long): Long = {
+    var z = seed ^ (docIdx * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  private def isoDate(rng: Rng): String = {
+    val y = 2018 + rng.nextInt(6)
+    val m = 1 + rng.nextInt(12)
+    val d = 1 + rng.nextInt(28)
+    f"$y%04d-$m%02d-$d%02d"
+  }
+
+  private def aliasOf(rng: Rng, tpe: String): String = tpe match {
+    case "ORGANIZATION" =>
+      Fixtures.orgAliases(rng.pick(Fixtures.orgBases))(rng.nextInt(3))
+    case "PERSON" =>
+      Fixtures.personAliases(rng.pick(Fixtures.personBases))(rng.nextInt(2))
+    case "LOCATION" => rng.pick(Fixtures.locations)
+    case "PRODUCT"  => rng.pick(Fixtures.products)
+    case "EVENT"    => rng.pick(Fixtures.events)
+    case "FACILITY" => rng.pick(Fixtures.facilities)
+    case "GROUP"    => rng.pick(Fixtures.groups)
+    case "MONEY" =>
+      val v = 1 + rng.nextInt(999)
+      val frac = rng.nextInt(10)
+      val unit = if (rng.nextInt(2) == 0) "million" else "billion"
+      s"$$$v.$frac $unit"
+    case other => sys.error(s"no alias source for type $other")
+  }
+
+  private def dateClause(rng: Rng): String = rng.nextInt(5) match {
+    case 0 => ""
+    case 1 | 2 => s" on ${isoDate(rng)}"
+    case 3 => s" in Q${1 + rng.nextInt(4)} ${2018 + rng.nextInt(6)}"
+    case 4 => s" on ${isoDate(rng)} until ${isoDate(rng)}"
+  }
+
+  /** One relation-bearing sentence realized from a fixture pattern. */
+  private def relationSentence(rng: Rng): String = {
+    val p = rng.pick(Fixtures.patterns)
+    val subj = aliasOf(rng, p.subjType)
+    var obj = aliasOf(rng, p.objType)
+    // avoid degenerate self-relations on identical surfaces
+    var tries = 0
+    while (obj == subj && tries < 4) { obj = aliasOf(rng, p.objType); tries += 1 }
+    val dc = dateClause(rng)
+    if (p.infix.startsWith(",")) {
+      // appositive form: "X, chief executive officer of Y, ..." keeps the
+      // pattern infix exactly between the two mentions
+      s"$subj${p.infix} $obj, outlined the strategy$dc."
+    } else {
+      s"$subj ${p.infix} $obj$dc."
+    }
+  }
+
+  private def fillerSentence(rng: Rng): String = {
+    val n = 5 + rng.nextInt(8)
+    val words = (0 until n).map(_ => rng.pick(Fixtures.fillerWords))
+    val withEntity =
+      if (rng.nextInt(3) == 0) {
+        val tpe = rng.pick(Vector("ORGANIZATION", "PERSON", "LOCATION", "PRODUCT"))
+        val at = rng.nextInt(words.length)
+        (words.take(at) :+ aliasOf(rng, tpe)) ++ words.drop(at)
+      } else words
+    val s = withEntity.mkString(" ")
+    s.substring(0, 1).toUpperCase + s.substring(1) + "."
+  }
+
+  /** Generate one document (pure). Returns the interleaved DocRow and its
+    * sidecar DocMeta.
+    */
+  def genDoc(seed: Long, docIdx: Long): (DocRow, DocMeta) = {
+    val rng = new Rng(mix(seed, docIdx))
+    val docId = f"doc_${docIdx}%08d"
+    val nSpans = 5 + rng.nextInt(26)
+    var offset = 0
+    var mediaIdx = 0
+    val spans = Vector.newBuilder[Span]
+    var tokenTotal = 0
+    (0 until nSpans).foreach { _ =>
+      if (rng.nextInt(100) < 12) {
+        val kind = rng.pick(Fixtures.mediaKinds)
+        spans += Span(kind, "", s"media://$docId/$mediaIdx", offset)
+        mediaIdx += 1
+        offset += 1
+      } else {
+        val nSent = 1 + rng.nextInt(3)
+        val text = (0 until nSent).map { _ =>
+          if (rng.nextInt(100) < 55) relationSentence(rng) else fillerSentence(rng)
+        }.mkString(" ")
+        spans += Span("text", text, "", offset)
+        tokenTotal += Tok.countTokens(text)
+        offset += text.length + 1
+      }
+    }
+    val company = rng.pick(Fixtures.orgBases)
+    val code = company.split(" ").map(_.take(2).toUpperCase).mkString
+    val year = 2018 + rng.nextInt(6)
+    val quarter = s"Q${1 + rng.nextInt(4)}"
+    val meta = DocMeta(docId, company, code, rng.pick(Fixtures.sectors),
+      year, quarter, s"https://example.invalid/calls/$docId", tokenTotal)
+    (DocRow(docId, spans.result()), meta)
+  }
+
+  /** Fiscal period end = last day of quarter month {Q1:3,Q2:6,Q3:9,Q4:12}
+    * (reference ectqa_loader.py:202-242, pipeline.py:256-264 picks 31/30 by
+    * month: Jun/Sep → 30, Mar/Dec → 31).
+    */
+  def fiscalPeriodEnd(year: Int, quarter: String): Date = {
+    val m = quarter match {
+      case "Q1" => 3; case "Q2" => 6; case "Q3" => 9; case _ => 12
+    }
+    val d = if (m == 6 || m == 9) 30 else 31
+    Date.valueOf(f"$year%04d-$m%02d-$d%02d")
+  }
+
+  /** Distributed corpus: nDocs rows generated executor-side. */
+  def docs(spark: SparkSession, nDocs: Long, seed: Long,
+      partitions: Int = 0): Dataset[DocRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).mapPartitions { it =>
+      it.map(i => genDoc(seed, i)._1)
+    }
+  }
+
+  def metas(spark: SparkSession, nDocs: Long, seed: Long,
+      partitions: Int = 0): Dataset[DocMeta] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, parts).mapPartitions { it =>
+      it.map(i => genDoc(seed, i)._2)
+    }
+  }
+
+  /** Serial corpus for the oracle / tests. */
+  def serial(nDocs: Int, seed: Long): Vector[(DocRow, DocMeta)] =
+    (0 until nDocs).map(i => genDoc(seed, i.toLong)).toVector
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SimHash64
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near dup of 0
+    (3L, "der schnelle braune fuchs und der faule hund ist da", "de"),
+    (4L, "completely different text about spark engines and shuffles", "en"),
+    (5L, "le chat et la souris et les grands des animaux", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val got = Dedup.exact(docs).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("canonical_doc_id") === 0L)
+    assert(got.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup -> jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH estimate approximates true jaccard") {
+    val got = Dedup.minhashLsh(docs, n = 3, numHashes = 64, bands = 16,
+      threshold = 0.4).collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(got((0L, 1L)) === 1.0) // identical signatures
+    assert(got.contains((0L, 2L)), s"near-dup pair missing: $got")
+    assert(math.abs(got((0L, 2L)) - 0.5) < 0.35) // true 3-gram jaccard ~0.54
+  }
+
+  test("simhash: identical text -> same hash; near dup -> small hamming") {
+    val h = docs.select(col("doc_id"), SimHash64.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) === h(1L))
+    val hamming02 = java.lang.Long.bitCount(h(0L) ^ h(2L))
+    val hamming04 = java.lang.Long.bitCount(h(0L) ^ h(4L))
+    assert(hamming02 < hamming04, s"near-dup $hamming02 !< unrelated $hamming04")
+    val nd = Dedup.simhashNearDup(docs, maxHamming = 12).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(nd.contains((0L, 1L)))
+  }
+
+  test("simhash expression matches its eval kernel and participates in codegen") {
+    val expected = SimHash64.compute("the quick brown fox jumps over the lazy dog")
+    val got = docs.where(col("doc_id") === 0L)
+      .select(SimHash64.simhash64(col("text"))).head().getLong(0)
+    assert(got === expected)
+  }
+
+  test("brute-force ANN: self is nearest with score 1") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, Seq(1.0, 0.0, 0.0), 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(top.head.getDouble(1) === 1.0)
+  }
+
+  test("LSH ANN returns the same top-1 as brute force on clustered data") {
+    val embs = (0 until 100).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+        else Seq(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val bf = Similarity.bruteForceTopK(embs, q, 1).head().getLong(0)
+    val lsh = Similarity.lshTopK(embs, q, 1, planes = 6).head().getLong(0)
+    assert(bf === lsh)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val got = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got(0L) === "en")
+    assert(got(3L) === "de")
+    assert(got(5L) === "fr")
+  }
+
+  test("quality + token counts + fingerprints are stable and sane") {
+    val q = TextAnalysis.qualityScore(docs).where(col("doc_id") === 0L).head()
+    assert(q.getAs[Int]("n_tokens") === 9)
+    assert(q.getAs[Double]("stopword_ratio") > 0.2)
+    val t = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 0L).head()
+    assert(t.getAs[Int]("n_tokens") === 9)
+    assert(t.getAs[Int]("n_distinct_tokens") === 8) // 'the' twice
+    val f = TextAnalysis.fingerprint(docs).collect()
+    assert(f.map(_.getAs[String]("content_md5")).distinct.length === 5) // 0==1
+  }
+
+  test("embedding near-dup via sign-LSH buckets") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.001f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(embs, planes = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd === Set((0L, 1L)))
+  }
+}
