@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
+import graft.temporal.Temporal
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data ops), each with an equivalent DuckDB
@@ -219,11 +221,70 @@ object SparkEntry {
         .select("doc_id", "content_md5")),
     "q_fingerprint_rolling" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))),
+    // ---- retrieval operators (SURVEY §2.8) --------------------------------
+    "q_entity_any" -> ((s, dir) => {
+      // ANY-match entity search (graph_search.py:136-165) at doc granularity
+      val m = mentionsDf(s, dir)
+        .select(col("doc_id").as("chunk_id"), col("name").as("entity_name"))
+      GraphSearch.searchByEntitiesAny(s, m, Seq("spark", "merge", "window"),
+          topK = 10)
+        .select(col("chunk_id").as("doc_id"), col("matched"),
+          round(col("score"), 6).as("score"))
+    }),
+    "q_related_2hop" -> ((s, dir) => {
+      // bounded BFS (graph_search.py:242-309) over the co-occurrence graph
+      val m = mentionsDf(s, dir).select(col("doc_id"), col("name"))
+      val a = m.select(col("doc_id"), col("name").as("subj"))
+      val b = m.select(col("doc_id").as("d2"), col("name").as("obj"))
+      val edges = a.join(b, col("doc_id") === col("d2") && col("subj") < col("obj"))
+        .groupBy(col("subj"), col("obj")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10).drop("n")
+      GraphSearch.relatedEntities(s, edges, "spark", depth = 2)
+    }),
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // RRF fusion (hybrid_search.py:106-163): length-ranked list fused
+      // with mention-volume-ranked list, k=60, alpha=0.5
+      val docs = s.read.parquet(docsPath(dir))
+      val vector = docs.select(col("doc_id").as("chunk_id"),
+          length(col("text")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("chunk_id").asc).limit(50)
+      val graph = mentionsDf(s, dir)
+        .groupBy(col("doc_id").as("chunk_id"))
+        .agg(sum(col("mention_count")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("chunk_id").asc).limit(50)
+      HybridSearch.rrf(vector, graph, topK = 20)
+        .select(col("chunk_id").as("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+    }),
+    "q_doc_similarity" -> ((s, dir) => {
+      val m = mentionsDf(s, dir).select(col("doc_id"),
+        col("name").as("entity_name"), col("type").as("entity_type"))
+      GraphSearch.documentSimilarityGraph(m, 0L, minShared = 2)
+    }),
+    "q_version_prune" -> ((s, dir) => {
+      // delete_old_versions semantics (versioning.py:224-262): keep the
+      // newest 2 versions per chain; events stand in as version rows
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumnRenamed("user_id", "lineage_id")
+        .withColumnRenamed("event_id", "version")
+      Temporal.pruneOldVersions(e, keep = 2)
+        .select(col("lineage_id").as("user_id"),
+          col("version").as("event_id"), col("event_type"))
+    }),
     // ---- KG construction pipeline (north rule; oracle = SerialOracle in
     // ScalaTest, so rows-only here) -----------------------------------------
     "kg_edges" -> ((s, dir) => kg(s, kgDocs(dir)).edges),
     "kg_nodes" -> ((s, dir) => kg(s, kgDocs(dir)).nodes),
     "kg_mentions" -> ((s, dir) => kg(s, kgDocs(dir)).mentionsFinal),
+    "kg_ppr" -> ((s, dir) => {
+      // personalized-PageRank retrieval (ppr_traversal.py:85-448) over the
+      // constructed graph; verified against a serial power iteration in
+      // RetrievalSpec, rows-only here
+      val r = kg(s, kgDocs(dir))
+      Ppr.search(s, r.nodes,
+        r.edges.select(col("subj"), col("pred"), col("obj")),
+        r.mentionsFinal, Seq("Skyline Systems"), topK = 20)
+    }),
     "kg_chunks" -> ((s, dir) => kg(s, kgDocs(dir)).chunks.toDF()
       .select(col("chunk_id"), col("doc_id"), col("chunk_index"),
         col("token_count"), size(col("spans")).as("n_spans"))),
@@ -372,7 +433,59 @@ object SparkEntry {
         """')) AS n_subwords
         |FROM p""".stripMargin),
     "q_fingerprint" ->
-      """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin)
+      """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin,
+    "q_entity_any" ->
+      s"""WITH m AS ($mentionsSql),
+         |w(wanted) AS (VALUES ('spark'), ('merge'), ('window'))
+         |SELECT m.doc_id, count(DISTINCT w.wanted) AS matched,
+         |  round(CAST(count(DISTINCT w.wanted) AS DOUBLE) / 3, 6) AS score
+         |FROM m JOIN w ON lower(m.name) = w.wanted
+         |GROUP BY 1
+         |ORDER BY count(DISTINCT w.wanted) DESC, m.doc_id ASC
+         |LIMIT 10""".stripMargin,
+    "q_related_2hop" ->
+      s"""WITH m AS ($mentionsSql),
+         |e0 AS (
+         |  SELECT a.name AS n1, b.name AS n2
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+         |  GROUP BY 1, 2 HAVING count(*) >= 10),
+         |und AS (SELECT n1 AS src, n2 AS dst FROM e0
+         |        UNION SELECT n2, n1 FROM e0),
+         |h1 AS (SELECT DISTINCT dst AS entity FROM und WHERE src = 'spark'),
+         |h2 AS (SELECT DISTINCT u.dst AS entity FROM und u
+         |       JOIN h1 ON u.src = h1.entity
+         |       WHERE u.dst <> 'spark'
+         |         AND u.dst NOT IN (SELECT entity FROM h1))
+         |SELECT entity, 1 AS distance FROM h1
+         |UNION ALL SELECT entity, 2 FROM h2""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH m AS ($mentionsSql),
+         |v AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS score
+         |      FROM documents ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |vr AS (SELECT doc_id, row_number() OVER
+         |         (ORDER BY score DESC, doc_id ASC) AS rnk FROM v),
+         |g AS (SELECT doc_id, CAST(sum(mention_count) AS DOUBLE) AS score
+         |      FROM m GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |gr AS (SELECT doc_id, row_number() OVER
+         |         (ORDER BY score DESC, doc_id ASC) AS rnk FROM g),
+         |u AS (SELECT doc_id, 0.5 / (60 + rnk) AS contrib FROM vr
+         |      UNION ALL SELECT doc_id, 0.5 / (60 + rnk) FROM gr)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf_score
+         |FROM u GROUP BY 1
+         |ORDER BY sum(contrib) DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_doc_similarity" ->
+      s"""WITH m AS ($mentionsSql),
+         |target AS (SELECT DISTINCT name, type FROM m WHERE doc_id = 0)
+         |SELECT m.doc_id,
+         |  count(DISTINCT m.name || '|' || m.type) AS shared_entities
+         |FROM m JOIN target t ON m.name = t.name AND m.type = t.type
+         |WHERE m.doc_id <> 0
+         |GROUP BY 1 HAVING count(DISTINCT m.name || '|' || m.type) >= 2""".stripMargin,
+    "q_version_prune" ->
+      """SELECT user_id, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn <= 2""".stripMargin)
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>

@@ -1,0 +1,191 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Personalized PageRank (reference retrieval/ppr_traversal.py:85-448) as a
+  * driver-looped DataFrame power iteration — the reference itself pulls the
+  * subgraph out of Neo4j and iterates client-side (ppr_traversal.py:199-259),
+  * which is exactly Spark's model: scores ⋈ edges → groupBy dst → sum.
+  *
+  * Semantics preserved: damping 0.85, uniform seed init 1/|seeds|, per-step
+  * share = d·score/outdeg along undirected induced edges (w = 1.0),
+  * teleport mass (1−d) + dangling mass distributed uniformly over seeds,
+  * L1 normalization, convergence |Δ|₁ < 1e-6 or 20 iterations
+  * (ppr_traversal.py settings 123-142).
+  *
+  * Scale posture: the iteration runs over the *bounded 2-hop induced
+  * subgraph* around the seeds (ppr_traversal.py:261-335) — never the full
+  * edge table — so each step is a small co-partitioned join;
+  * localCheckpoint every 5 steps truncates the plan lineage.
+  */
+object Ppr {
+
+  val Damping = 0.85
+  val Tol = 1e-6
+  val MaxIter = 20
+
+  /** Seed entities: name substring match either direction against the node
+    * table (ppr_traversal.py:158-164).
+    */
+  def seeds(nodes: DataFrame, queryEntities: Seq[String]): DataFrame = {
+    val conds = queryEntities.map(_.toLowerCase).map { q =>
+      lower(col("name")).contains(q) || lit(q).contains(lower(col("name")))
+    }
+    if (conds.isEmpty) nodes.select(col("name")).limit(0)
+    else nodes.where(conds.reduce(_ || _)).select(col("name")).distinct()
+  }
+
+  /** Induced subgraph: undirected edges within `depth` hops of the seeds
+    * (ppr_traversal.py:261-335).
+    */
+  def inducedSubgraph(edges: DataFrame, seedDf: DataFrame,
+      depth: Int = 2): DataFrame = {
+    val und = GraphSearch.undirected(edges)
+    var reach = seedDf.select(lower(col("name")).as("entity")).distinct()
+    for (_ <- 1 to depth) {
+      val next = und.join(reach, lower(und("src")) === reach("entity"))
+        .select(lower(col("dst")).as("entity"))
+      reach = reach.union(next).distinct()
+    }
+    val r1 = reach.select(col("entity").as("e1"))
+    val r2 = reach.select(col("entity").as("e2"))
+    und.join(r1, lower(und("src")) === col("e1"), "left_semi")
+      .join(r2, lower(und("dst")) === col("e2"), "left_semi")
+      .select(lower(col("src")).as("src"), lower(col("dst")).as("dst"))
+      .distinct()
+  }
+
+  /** Edge cap under which the induced subgraph is pulled to the driver and
+    * iterated locally — the reference's own execution model
+    * (ppr_traversal.py:199-259 pulls the subgraph out of Neo4j and runs the
+    * power iteration client-side). The subgraph is depth-bounded around the
+    * seeds, so this is the common case; bigger subgraphs fall back to the
+    * distributed DataFrame loop below with identical math.
+    */
+  val LocalEdgeCap = 200000L
+
+  /** Serial power iteration — the exact contract, plain Scala. */
+  def serialScores(edges: Seq[(String, String)],
+      seeds: Set[String]): Map[String, Double] = {
+    if (seeds.isEmpty) return Map.empty
+    val verts = (edges.flatMap(e => Seq(e._1, e._2)) ++ seeds).distinct.sorted
+    val outEdges = edges.groupBy(_._1)
+    val inEdges = edges.groupBy(_._2)
+    val outdeg = outEdges.map { case (k, v) => k -> v.size }
+    val seedShare = 1.0 / seeds.size
+    var score = verts.map(v =>
+      v -> (if (seeds(v)) seedShare else 0.0)).toMap
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < MaxIter && delta >= Tol) {
+      val dangling = verts.filterNot(outdeg.contains).map(score).sum
+      val teleport = (1.0 - Damping) + Damping * dangling
+      val raw = verts.map { v =>
+        val inflow = inEdges.getOrElse(v, Seq.empty)
+          .map { case (u, _) => Damping * score(u) / outdeg(u) }.sum
+        v -> (inflow + (if (seeds(v)) teleport * seedShare else 0.0))
+      }.toMap
+      val l1 = math.max(raw.values.map(math.abs).sum, 1e-12)
+      val next = raw.map { case (k, v) => k -> v / l1 }
+      delta = verts.map(v => math.abs(next(v) - score(v))).sum
+      score = next
+      it += 1
+    }
+    score
+  }
+
+  /** Power iteration → (entity, ppr) scores, descending. */
+  def scores(spark: SparkSession, subgraph: DataFrame,
+      seedDf: DataFrame, localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+    import spark.implicits._
+    val seedSet = seedDf.select(lower(col("name")).as("entity")).distinct()
+      .persist()
+    val nSeeds = seedSet.count()
+    if (nSeeds == 0) return Seq.empty[(String, Double)].toDF("entity", "ppr")
+
+    val edgeCount = subgraph.count()
+    if (edgeCount <= localEdgeCap) {
+      val edges = subgraph.select(col("src"), col("dst")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val seeds = seedSet.collect().map(_.getString(0)).toSet
+      seedSet.unpersist()
+      return serialScores(edges, seeds).toSeq.toDF("entity", "ppr")
+        .orderBy(col("ppr").desc, col("entity").asc)
+    }
+
+    val vertices = subgraph.select(col("src").as("entity"))
+      .union(subgraph.select(col("dst").as("entity")))
+      .union(seedSet.select(col("entity")))
+      .distinct().persist()
+    val outdeg = subgraph.groupBy(col("src").as("entity"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+
+    val seedShare = 1.0 / nSeeds
+    var cur = vertices
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("entity"), "left")
+      .select(col("entity"),
+        when(col("is_seed"), lit(seedShare)).otherwise(lit(0.0)).as("score"))
+      .persist()
+
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < MaxIter && delta >= Tol) {
+      val flowing = cur.join(outdeg, Seq("entity"), "inner")
+        .select(col("entity"), (col("score") / col("outdeg")).as("share"))
+      val propagated = subgraph
+        .join(flowing, subgraph("src") === flowing("entity"))
+        .groupBy(col("dst").as("entity"))
+        .agg(sum(col("share") * lit(Damping)).as("inflow"))
+      // teleport (1-d) plus the damped mass of dangling vertices goes to
+      // the seeds uniformly, keeping total mass 1 before normalization
+      val danglingMass = cur.join(outdeg, Seq("entity"), "left_anti")
+        .agg(coalesce(sum(col("score")), lit(0.0))).head().getDouble(0)
+      val teleport = (1.0 - Damping) + Damping * danglingMass
+      val next0 = vertices
+        .join(propagated, Seq("entity"), "left")
+        .join(seedSet.withColumn("is_seed", lit(true)), Seq("entity"), "left")
+        .select(col("entity"),
+          (coalesce(col("inflow"), lit(0.0)) +
+            when(col("is_seed"), lit(teleport * seedShare))
+              .otherwise(lit(0.0))).as("score"))
+      val l1 = next0.agg(sum(abs(col("score")))).head().getDouble(0)
+      val next = next0.select(col("entity"),
+        (col("score") / lit(math.max(l1, 1e-12))).as("score"))
+        .localCheckpoint()
+      delta = next.join(cur.withColumnRenamed("score", "prev"), Seq("entity"))
+        .agg(sum(abs(col("score") - col("prev")))).head().getDouble(0)
+      cur.unpersist()
+      cur = next.persist()
+      it += 1
+    }
+    seedSet.unpersist(); vertices.unpersist(); outdeg.unpersist()
+    cur.select(col("entity"), col("score").as("ppr"))
+      .orderBy(col("ppr").desc, col("entity").asc)
+  }
+
+  /** Chunk scoring: score(chunk) = Σ ppr(entity)·mention_confidence over
+    * the top-`entityCap` PPR entities (ppr_traversal.py:337-425, cap 50).
+    */
+  def scoreChunks(mentions: DataFrame, pprScores: DataFrame,
+      entityCap: Int = 50, topK: Int = 10): DataFrame = {
+    val top = broadcast(pprScores.limit(entityCap))
+    mentions
+      .join(top, lower(col("entity_name")) === col("entity"))
+      .groupBy(col("chunk_id"))
+      .agg(sum(col("ppr") * col("confidence")).as("score"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+      .limit(topK)
+  }
+
+  /** End-to-end PPR search (ppr_traversal.py:85-140). */
+  def search(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      mentions: DataFrame, queryEntities: Seq[String],
+      topK: Int = 10): DataFrame = {
+    val s = seeds(nodes, queryEntities).persist()
+    val sub = inducedSubgraph(edges, s).persist()
+    val ppr = scores(spark, sub, s)
+    val out = scoreChunks(mentions, ppr, topK = topK)
+    out
+  }
+}
