@@ -33,17 +33,34 @@ object Pipeline {
       components: DataFrame,
       nodes: DataFrame,
       edges: DataFrame,
-      mentionsFinal: DataFrame)
+      mentionsFinal: DataFrame) {
+    /** Release every cached intermediate (chunks/mentions/triples/entities). */
+    def unpersistAll(): Unit = {
+      chunks.unpersist(); mentions.unpersist(); triples.unpersist()
+      entities.unpersist()
+    }
+  }
 
   def chunksOfSynth(spark: SparkSession, nDocs: Long, seed: Long,
       cfg: SpanChunker.Config, partitions: Int = 0): Dataset[ChunkRow] =
     SpanChunker.chunkSynth(spark, nDocs, seed, cfg, partitions)
 
-  /** Run everything downstream of the chunk table. */
+  /** Run everything downstream of the chunk table.
+    *
+    * The extraction outputs are persisted (memory-and-disk): mentions feeds
+    * entities, the canonical mapping AND mentionsFinal — without the cache
+    * the narrow-but-hot NER scan re-runs once per downstream action. At
+    * cluster scale these caches are the stage-boundary tables the
+    * checkpointed IngestJob materializes anyway.
+    */
   def fromChunks(spark: SparkSession, chunks: Dataset[ChunkRow]): Result = {
+    import org.apache.spark.storage.StorageLevel
     val mentions = GazetteerNer.detect(spark, chunks).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = RelationPatterns.dedup(RelationPatterns.extract(spark, chunks))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val entities = Linker.entities(mentions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dupPairs = Linker.verdicts(Linker.candidates(entities))
     val components = ConnectedComponents.run(spark,
       dupPairs.select(col("id1"), col("id2")))

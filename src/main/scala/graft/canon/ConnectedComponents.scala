@@ -10,49 +10,92 @@ import org.apache.spark.storage.StorageLevel
   * ("canonicalization runs as iterative DataFrame self-joins computing
   * connected components ... salted keys for hot-entity skew").
   *
-  * Algorithm: min-label propagation. label(v) starts as v (labels ARE
-  * entity ids, so the converged label is the group's min entity_id — the
-  * deterministic canonical-representative rule of SURVEY §7.4.3). Each
-  * round: label(v) <- min(label(v), min over neighbors u of label(u)).
-  * Converges in O(diameter) rounds; alias groups are shallow (diameter
-  * <= ~4) so <= maxIters=20 with an assertion. Each round's result is
-  * localCheckpoint()ed to truncate lineage (mandatory for iterative DF
-  * algorithms — otherwise the plan doubles per round). Hot vertices are a
-  * groupBy min — map-side partial aggregation + AQE handle skew; no
-  * explicit salting is needed because min() is associative.
+  * Algorithm: min-label propagation with pointer doubling. label(v) starts
+  * as v (labels ARE entity ids, so the converged label is the group's min
+  * entity_id — the deterministic canonical-representative rule of SURVEY
+  * §7.4.3). Each round: (hook) label(v) <- min(label(v), min over
+  * neighbors u of label(u)); then (jump) label(v) <- label(label(v)) —
+  * the path-compression step that turns O(diameter) convergence into
+  * O(log diameter), needed because similarity chains over value-typed
+  * entities (dates, amounts) can be hundreds of hops long at scale.
+  *
+  * Physical shape per round: the label table is orders of magnitude
+  * smaller than the corpus (it is the entity-vertex set), so when it fits
+  * the broadcast budget every join in the round is a broadcast-hash join —
+  * the big edge table is NEVER reshuffled across iterations (it is
+  * partitioned once, up front) and a round costs two small jobs. Above the
+  * budget the joins fall back to Spark's shuffle path on the same plan.
+  * Each round's result is localCheckpoint()ed to truncate lineage
+  * (mandatory for iterative DF algorithms — the plan would double per
+  * round). Hot vertices are a groupBy min — map-side partial aggregation +
+  * AQE handle skew; min() is associative so no explicit salting is needed.
   */
 object ConnectedComponents {
+
+  /** Vertex count under which the label table is broadcast each round. */
+  val BroadcastVertexCap = 500000L
 
   /** @param edges DataFrame with string columns (id1, id2), undirected.
     * @return (id, component) for every vertex appearing in edges.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val bi = edges.select(col("id1").as("src"), col("id2").as("dst"))
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val bi0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+    val nEdges = bi0.count()
+    // size the iteration's partitioning by the data, not the session: tiny
+    // graphs otherwise pay hundreds of empty tasks per round
+    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 50000L).toInt + 1))
+    val bi = bi0.repartition(parts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val nVertices = labels.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (nVertices <= BroadcastVertexCap) broadcast(df) else df
+
+    // pointer doubling: label(v) <- label(label(v)). The invariant
+    // label(x) <= x makes the looked-up label never larger, but least()
+    // keeps the step monotone regardless. Applied as a broadcast self-join;
+    // identical exchange subplans are deduplicated by ReuseExchange, so
+    // chaining two jumps inside one job costs one extra hash lookup, not a
+    // recompute.
+    def jump(df: DataFrame): DataFrame = {
+      val to = df.select(col("id").as("jid"), col("component").as("jcomp"))
+      df.join(maybeBcast(to), df("component") === col("jid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("jcomp"), col("component")))
+            .as("component"))
+    }
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val viaNeighbors = bi
-        .join(labels.withColumnRenamed("id", "dst2"),
+        .join(maybeBcast(labels.withColumnRenamed("id", "dst2")),
           bi("dst") === col("dst2"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      val hooked = labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.component") =!= col("o.component"))
-        .limit(1).count()
+      // hook + jump twice, ONE materializing job per round — driver
+      // round-trips, not task counts, dominate the loop's wall clock
+      val next = jump(jump(hooked)).localCheckpoint(true)
+      // convergence probe every second round (the probe is a full driver
+      // round-trip; an extra harmless iteration is cheaper than a check
+      // per round)
+      if (iter % 2 == 1 || iter == maxIters - 1) {
+        val changed = next
+          .join(maybeBcast(labels.select(col("id").as("oid"),
+            col("component").as("ocomp"))), col("id") === col("oid"))
+          .where(col("component") =!= col("ocomp"))
+          .limit(1).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIters iterations")

@@ -58,8 +58,7 @@ object RelationPatterns {
         while (i < ms.length - 1) {
           val a = ms(i)
           val b = ms(i + 1)
-          val infix = Tok.normInfix(
-            sentence.substring(a.end, b.start).replaceAll("^[\\s]+|[\\s]+$", ""))
+          val infix = Tok.normInfix(sentence.substring(a.end, b.start))
           Fixtures.patternByInfix.get(infix).foreach { p =>
             if (p.subjType == a.tpe && p.objType == b.tpe) {
               val subj = Tok.normalizeEntityName(a.name)

@@ -51,6 +51,22 @@ object Linker {
   val cosineUdf = udf { (n1: String, n2: String) => NameFeatures.cosine(n1, n2) }
   val jwUdf = udf { (n1: String, n2: String) => JaroWinkler.similarity(n1, n2) }
 
+  private val featUdf = udf { (name: String) =>
+    val (i, v) = NameFeatures.vector(name)
+    (i.toSeq, v.toSeq)
+  }
+
+  private val dotUdf = udf {
+    (ai: Seq[Int], av: Seq[Double], bi: Seq[Int], bv: Seq[Double]) =>
+      var i = 0; var j = 0; var s = 0.0
+      while (i < ai.length && j < bi.length) {
+        if (ai(i) == bi(j)) { s += av(i) * bv(j); i += 1; j += 1 }
+        else if (ai(i) < bi(j)) i += 1
+        else j += 1
+      }
+      s
+  }
+
   /** Candidate generation via blocking keys. Input must have columns
     * (entity_id, name, entity_type). Output: (id1, name1, id2, name2,
     * entity_type, emb_sim) with id1 < id2 and emb_sim >= threshold*slack,
@@ -63,12 +79,27 @@ object Linker {
     * key would make the self-join quadratic at scale; frequency-capped
     * blocking trades bounded compute for a bounded, documented recall loss
     * on ultra-dense buckets.
+    *
+    * Skew handling (the hot-entity clause of the north rule): value-typed
+    * surfaces concentrate — every "$X million" MONEY entity shares the
+    * (MONEY, "lion") suffix key — and all of a key's quadratic pair work
+    * lands in ONE join partition. AQE's skew split never fires because the
+    * skew is CPU, not bytes. So the self-join is salted exactly: the right
+    * side gets a deterministic sub-group g2 = hash(id) mod saltGroups, the
+    * left side is replicated once per sub-group, and the equi-join key
+    * becomes (bkey, group) — the candidate set is IDENTICAL, but a B-member
+    * bucket's B² work spreads over saltGroups partitions. Feature vectors
+    * are precomputed per entity (not per pair), and the distinct() runs
+    * AFTER the similarity filter so the big shuffle carries only survivors.
     */
-  def candidates(entities: DataFrame, maxBucketSize: Long = 10000L): DataFrame = {
+  def candidates(entities: DataFrame, maxBucketSize: Long = 10000L,
+      saltGroups: Int = 8): DataFrame = {
     val e = entities
       .select(col("entity_id"), col("name"), col("entity_type"))
       .withColumn("simp", simplifyLowerUdf(col("name")))
+      .withColumn("feat", featUdf(col("name")))
     val keyedAll = e.select(col("entity_id"), col("name"), col("entity_type"),
+      col("feat"),
       explode(array_distinct(array(
         concat_ws("|", col("entity_type"), split(col("simp"), " ").getItem(0)),
         concat_ws("|", col("entity_type"), substring(col("simp"), 1, 4)),
@@ -80,15 +111,21 @@ object Linker {
       .where(col("bcount") <= lit(maxBucketSize))
       .drop("bcount")
     val a = keyed.select(col("bkey").as("k1"), col("entity_id").as("id1"),
-      col("name").as("name1"), col("entity_type"))
+      col("name").as("name1"), col("entity_type"),
+      col("feat._1").as("fi1"), col("feat._2").as("fv1"))
+      .withColumn("grp", explode(sequence(lit(0), lit(saltGroups - 1))))
     val b = keyed.select(col("bkey").as("k2"), col("entity_id").as("id2"),
-      col("name").as("name2"))
+      col("name").as("name2"),
+      col("feat._1").as("fi2"), col("feat._2").as("fv2"),
+      pmod(xxhash64(col("entity_id")), lit(saltGroups)).cast("int").as("g2"))
     val blockSlack = Const.EmbThreshold * Const.BlockingSlack
-    val pairs = a.join(b, col("k1") === col("k2") && col("id1") < col("id2"))
-      .select(col("id1"), col("name1"), col("id2"), col("name2"), col("entity_type"))
-      .distinct()
-      .withColumn("emb_sim", cosineUdf(col("name1"), col("name2")))
+    val pairs = a.join(b, col("k1") === col("k2") && col("grp") === col("g2") &&
+        col("id1") < col("id2"))
+      .withColumn("emb_sim", dotUdf(col("fi1"), col("fv1"), col("fi2"), col("fv2")))
       .where(col("emb_sim") >= lit(blockSlack))
+      .select(col("id1"), col("name1"), col("id2"), col("name2"),
+        col("entity_type"), col("emb_sim"))
+      .distinct()
     val w = Window.partitionBy(col("id1"))
       .orderBy(col("emb_sim").desc, col("id2").asc)
     pairs.withColumn("rn", row_number().over(w))

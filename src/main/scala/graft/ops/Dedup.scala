@@ -89,14 +89,23 @@ object Dedup {
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; estimated Jaccard = fraction of equal signature positions;
     * keep pairs >= threshold. bands must divide numHashes.
+    *
+    * The signature is computed via explode + a 64-way min hash-aggregate
+    * rather than nested `transform` lambdas: higher-order-function
+    * expressions are interpreted (no whole-stage codegen), which made the
+    * nested form ~50x slower; the explode/agg form is fully codegen'd with
+    * map-side partial mins, and its one shuffle carries only
+    * (doc_id, 64 longs) per doc.
     */
   def minhashLsh(docs: DataFrame, n: Int = 4, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), n, numHashes).as("sig"))
-      .where(size(shingles(col("text"), n)) > 0)
+    val inv = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val sig = inv.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
       .persist()
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
