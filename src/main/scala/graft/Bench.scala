@@ -125,7 +125,7 @@ object Bench {
     // the box has noisy neighbors (observed 3x wall-clock swings at equal
     // config); take the min of REPS runs per level — standard
     // best-observed-time benchmarking
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     // part 1: headline queries
     val results =

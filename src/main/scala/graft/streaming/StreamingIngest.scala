@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Schema._
+import graft.ingest.{GazetteerNer, SpanChunker}
+
+/** Structured-Streaming face of the construction pipeline.
+  *
+  * The reference is a batch system (SURVEY §2.11: no streams; incremental
+  * ingest = per-document batch calls), but the engine's extraction kernels
+  * are pure per-row functions, so the SAME chunker and NER run unchanged
+  * under `readStream`: chunking and mention detection are narrow
+  * (flatMap / mapPartitions — no state), and the only stateful operators
+  * are the windowed mention aggregation behind a watermark and an
+  * entity-total `mapGroupsWithState`. At scale this is the continuous
+  * ingest path: a stream of interleaved docs appends to the same
+  * bucketed mention/chunk tables the batch job writes.
+  */
+object StreamingIngest {
+
+  /** One streaming input record: an interleaved doc + its event time. */
+  final case class DocEvent(doc_id: String, spans: Seq[Span],
+      fiscal_year: Int, fiscal_quarter: String, event_ts: Timestamp)
+
+  final case class ChunkEvent(chunk: ChunkRow, event_ts: Timestamp)
+
+  /** Streaming chunker: pure flatMap of the batch SpanChunker over each
+    * incoming doc (no shuffle, no state).
+    */
+  def chunkStream(spark: SparkSession, docs: Dataset[DocEvent],
+      cfg: SpanChunker.Config = SpanChunker.Config()): Dataset[ChunkEvent] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      val meta = DocMeta(d.doc_id, "", "", "", d.fiscal_year,
+        d.fiscal_quarter, "", 0)
+      SpanChunker.chunkDoc(DocRow(d.doc_id, d.spans), meta, cfg)
+        .map(ChunkEvent(_, d.event_ts))
+    }
+  }
+
+  /** Streaming mention detection: the batch gazetteer automaton, pooled
+    * per executor exactly as in the batch path.
+    */
+  def mentionStream(spark: SparkSession,
+      chunks: Dataset[ChunkEvent]): DataFrame = {
+    import spark.implicits._
+    chunks.mapPartitions { it =>
+      val _ = GazetteerNer.trie
+      it.flatMap(c => GazetteerNer.mentionsOf(c.chunk).map(m => (m, c.event_ts)))
+    }.toDF("mention", "event_ts")
+      .select(col("mention.*"), col("event_ts"))
+  }
+
+  /** Windowed mention counts behind a watermark: late data beyond
+    * `lateness` is dropped; output is append-mode-safe.
+    */
+  def windowedMentionCounts(mentions: DataFrame,
+      windowLen: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    mentions
+      .withWatermark("event_ts", lateness)
+      .groupBy(window(col("event_ts"), windowLen),
+        col("entity_name"), col("entity_type"))
+      .agg(sum(col("mention_count")).as("mentions"),
+        // exact distinct is unsupported on streams; HLL sketch instead
+        approx_count_distinct(col("chunk_id")).as("chunks"))
+
+  final case class EntityTotal(
+      entity_name: String, entity_type: String,
+      total_mentions: Long, last_seen: Timestamp)
+
+  /** Running per-entity totals via mapGroupsWithState — the streaming
+    * equivalent of the batch entity aggregate (Linker.entities).
+    */
+  def runningEntityTotals(spark: SparkSession,
+      mentions: DataFrame): Dataset[EntityTotal] = {
+    import spark.implicits._
+    def fold(key: (String, String),
+        rows: Iterator[(String, String, Long, Timestamp)],
+        state: GroupState[EntityTotal]): EntityTotal = {
+      val batch = rows.toSeq
+      val add = batch.map(_._3).sum
+      val maxTs = batch.map(_._4.getTime).max
+      val prev = state.getOption
+        .getOrElse(EntityTotal(key._1, key._2, 0L, new Timestamp(0L)))
+      val next = EntityTotal(key._1, key._2, prev.total_mentions + add,
+        new Timestamp(math.max(prev.last_seen.getTime, maxTs)))
+      state.update(next)
+      next
+    }
+    mentions
+      .select(col("entity_name"), col("entity_type"),
+        col("mention_count").cast("long"), col("event_ts"))
+      .as[(String, String, Long, Timestamp)]
+      .groupByKey { case (n, t, _, _) => (n, t) }
+      .mapGroupsWithState[EntityTotal, EntityTotal](
+        GroupStateTimeout.NoTimeout)(fold _)
+  }
+
+  /** Wire a memory-sink query for tests/demos: mention windows to an
+    * in-memory table named `tableName`.
+    */
+  def startWindowQuery(spark: SparkSession, docs: Dataset[DocEvent],
+      tableName: String, cfg: SpanChunker.Config = SpanChunker.Config()) = {
+    val counts = windowedMentionCounts(
+      mentionStream(spark, chunkStream(spark, docs, cfg)))
+    counts.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Schema.Span
+import graft.ingest.SpanChunker
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.DocEvent
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def doc(id: String, text: String, at: String): DocEvent =
+    DocEvent(id, Seq(Span("text", text, "", 0)), 2024, "Q1", ts(at))
+
+  test("streaming chunk -> NER -> watermarked windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = StreamingIngest.startWindowQuery(spark, input.toDS(),
+      "stream_counts", SpanChunker.Config(200, 40))
+    try {
+      input.addData(
+        doc("d1", "Skyline Systems opened offices in Austin.",
+          "2024-01-01 10:01:00"),
+        doc("d2", "Skyline Systems grew again.", "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      // the watermark tracks event times OBSERVED at the watermark node, so
+      // flush docs must themselves yield mentions; and an advance is
+      // APPLIED a batch later: batch 2 raises it past the first window,
+      // batch 3 flushes the closed windows in append mode
+      input.addData(doc("d3", "Dublin hosted the team.", "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      input.addData(doc("d4", "Dublin again.", "2024-01-01 11:01:00"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_counts")
+        .where(col("window.start") === ts("2024-01-01 10:00:00"))
+        .select("entity_name", "mentions").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.get("Skyline Systems").contains(2L))
+      assert(rows.get("Austin").contains(1L))
+    } finally q.stop()
+  }
+
+  test("running entity totals via mapGroupsWithState accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val totals = StreamingIngest.runningEntityTotals(spark,
+      StreamingIngest.mentionStream(spark,
+        StreamingIngest.chunkStream(spark, input.toDS())))
+    val q = totals.writeStream.format("memory").queryName("stream_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(doc("d1", "Skyline Systems grew.", "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      input.addData(doc("d2", "Skyline Systems grew again.", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      val latest = spark.table("stream_totals")
+        .where($"entity_name" === "Skyline Systems")
+        .orderBy($"last_seen".desc).head()
+      assert(latest.getAs[Long]("total_mentions") === 2L)
+      assert(latest.getAs[Timestamp]("last_seen") === ts("2024-01-01 10:05:00"))
+    } finally q.stop()
+  }
+}
