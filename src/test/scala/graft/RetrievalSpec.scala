@@ -208,4 +208,32 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("n_chunks")).toMap
     assert(dc === Map("d1" -> 2L, "d2" -> 2L))
   }
+
+  test("result evolution: new/disappeared/persistent id sets") {
+    import graft.retrieval.Evolution
+    val t1 = Seq("c1", "c2").toDF("chunk_id")
+    val t2 = Seq("c2", "c3").toDF("chunk_id")
+    val ev = Evolution.compareResults(t1, t2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ev === Map("c3" -> "new", "c1" -> "disappeared", "c2" -> "persistent"))
+    val periods = Evolution.compareOverTime(Seq(("q1", t1), ("q2", t2)))
+    assert(periods.size === 1 && periods.head._1 === "q1" && periods.head._2 === "q2")
+  }
+
+  test("entity-graph expansion, document title search, database stats") {
+    import graft.retrieval.Evolution
+    val exp = Evolution.expandWithEntityGraph(mentions, edges, "c1").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // c1 mentions acme + bob; depth-1 neighbors via undirected edges
+    assert(exp === Set(("acme", "ceo_of", "bob"), ("bob", "ceo_of", "acme"),
+      ("bob", "knows", "carol")))
+    val docs = Seq((1L, "Acme Q3 earnings call"), (2L, "Zeta annual report"))
+      .toDF("doc_id", "title")
+    val found = Evolution.searchDocuments(docs, "acme earnings").collect()
+    assert(found.length === 1 && found.head.getLong(0) === 1L &&
+      found.head.getInt(2) === 2)
+    val stats = Evolution.databaseStats(docs, docs, docs, edges, mentions).head()
+    assert(stats.getLong(0) === 2L && stats.getLong(3) === 3L &&
+      stats.getLong(4) === 7L)
+  }
 }
