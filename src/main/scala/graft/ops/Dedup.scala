@@ -45,24 +45,51 @@ object Dedup {
         array_sort(collect_list(col("doc_id"))).as("doc_ids"))
       .where(col("dup_count") > 1)
 
+  /** Inverted shingle index rows (doc_id, sh_size, shingle) via a typed
+    * flatMap — a compiled kernel; the column-HOF formulation (transform +
+    * slice per position) is interpreted row-by-row and was ~30x slower.
+    */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val sh: Array[String] =
+          if (toks.length >= n)
+            Iterator.range(0, toks.length - n + 1)
+              .map(i => toks.slice(i, i + n).mkString(" "))
+              .toSet.toArray
+          else Array.empty[String]
+        val k = sh.length
+        sh.iterator.map(s => (id, k, s))
+      }.toDF("doc_id", "sh_size", "shingle")
+  }
+
   /** N-gram Jaccard near-dup: inverted-index self-join on shingles →
     * per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
     * Sub-quadratic as long as shingle doc-frequency is bounded; ultra-hot
     * shingles (df > maxShingleDf) are dropped from the index, the standard
     * frequency cap (they contribute negligible Jaccard evidence but
     * quadratic pairs).
+    *
+    * Physical shape: the index joins on xxhash64(shingle) — an 8-byte
+    * shuffle key instead of the n-gram string (64-bit collisions are
+    * negligible at any realistic distinct-shingle count) — and the hot-
+    * shingle cap is a broadcast ANTI join against the (tiny) hot set
+    * rather than an inner join against the (huge) cold set.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.6,
       maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("sh_size", size(col("sh")))
-    val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("s"))
-    val dfCap = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= lit(maxShingleDf))
-    val capped = inv.join(dfCap, Seq("s")).drop("df")
-    val a = capped.select(col("s"), col("doc_id").as("id1"), col("sh_size").as("n1"))
-    val b = capped.select(col("s").as("s2"), col("doc_id").as("id2"), col("sh_size").as("n2"))
-    a.join(b, col("s") === col("s2") && col("id1") < col("id2"))
+    val inv = shingleRows(docs, n)
+      .select(col("doc_id"), col("sh_size"), xxhash64(col("shingle")).as("h"))
+    val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > lit(maxShingleDf))
+    val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
+    val a = capped.select(col("h"), col("doc_id").as("id1"), col("sh_size").as("n1"))
+    val b = capped.select(col("h").as("h2"), col("doc_id").as("id2"), col("sh_size").as("n2"))
+    a.join(b, col("h") === col("h2") && col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"), first(col("n1")).as("n1"),
         first(col("n2")).as("n2"))
@@ -101,8 +128,8 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inv = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val inv = shingleRows(docs, n)
+      .select(col("doc_id"), col("shingle").as("s"))
     val sig = inv.groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
@@ -170,13 +197,15 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, planes: Int = 8,
       threshold: Double = 0.95): DataFrame = {
     val withBucket = embeddings.select(col("vec_id"),
-      col("embedding"), Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
+      transform(col("embedding"), x => x.cast("double")).as("emb"),
+      Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
     val l = withBucket.select(col("bucket"), col("vec_id").as("id1"),
-      col("embedding").as("e1"))
+      col("emb").as("e1"))
     val r = withBucket.select(col("bucket").as("bk2"), col("vec_id").as("id2"),
-      col("embedding").as("e2"))
+      col("emb").as("e2"))
     l.join(r, col("bucket") === col("bk2") && col("id1") < col("id2"))
-      .withColumn("cosine", round(Similarity.cosineCol(col("e1"), col("e2")), 6))
+      // compiled pair kernel — interpreted HOF cosine is ~10x slower here
+      .withColumn("cosine", round(Similarity.cosineUdfD(col("e1"), col("e2")), 6))
       .where(col("cosine") >= lit(threshold))
       .select("id1", "id2", "cosine")
   }

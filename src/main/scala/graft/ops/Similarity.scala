@@ -29,6 +29,24 @@ object Similarity {
     when(denom === 0.0, 0.0).otherwise(dotCol(a, b) / denom)
   }
 
+  /** Compiled cosine kernel for PAIR-JOIN paths: higher-order-function
+    * columns are interpreted per row (no codegen), which at millions of
+    * candidate pairs is ~10x slower than this plain loop. Same math and
+    * accumulation order as cosineCol, zero-norm → 0.
+    */
+  val cosineUdfD = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   /** Deterministic pseudo-random hyperplane component for sign-LSH:
     * plane p, dimension i → a value in [-1, 1) derived from xxhash64.
     */
