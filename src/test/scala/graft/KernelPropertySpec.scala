@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.ConnectedComponents
+import graft.text.Tok
+
+/** Property tests defending the optimized kernels against their
+  * specifications: the allocation-free char scans in Tok must agree with
+  * the regex grammar they replaced, and the distributed connected
+  * components must agree with a serial union-find on random graphs.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val WordOrPunct =
+    """[A-Za-z0-9]+(?:'[A-Za-z0-9]+)*|[^\sA-Za-z0-9]""".r
+  private val SentenceEnd = """(?<=[.!?])\s+""".r
+
+  // text over a grammar-stressing alphabet: words, punctuation runs,
+  // apostrophes, mixed whitespace
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf(".", "!", "?", ",", ";", "'", "''", "$", "%", "-", "..."),
+    Gen.oneOf(" ", "  ", "\t", "\n", " \n "),
+    Gen.const("don't"), Gen.const("Q3 2024"), Gen.const("$1.5 million")
+  )).map(_.mkString)
+
+  test("countTokens char scan == regex token count on arbitrary text") {
+    check(Prop.forAll(textGen) { text =>
+      Tok.countTokens(text) == WordOrPunct.findAllIn(text).length
+    })
+  }
+
+  test("countTokens agrees with tokenize length") {
+    check(Prop.forAll(textGen) { text =>
+      Tok.countTokens(text) == Tok.tokenize(text).length
+    })
+  }
+
+  test("sentenceSplit char scan == regex split on arbitrary text") {
+    check(Prop.forAll(textGen) { text =>
+      val want = SentenceEnd.split(text).iterator
+        .map(_.trim).filter(_.nonEmpty).toVector
+      Tok.sentenceSplit(text) == want
+    })
+  }
+
+  test("normalizeEntityName char scan == regex reference") {
+    check(Prop.forAll(textGen) { name =>
+      Tok.normalizeEntityName(name) ==
+        name.trim.replaceAll("\\s+", " ").replaceAll("[.,;:!?]+$", "")
+    })
+  }
+
+  test("normInfix char scan == regex reference (ASCII lowering)") {
+    check(Prop.forAll(textGen) { s =>
+      Tok.normInfix(s) == s.trim.replaceAll("\\s+", " ").toLowerCase
+    })
+  }
+
+  test("connected components == serial union-find on random graphs") {
+    lazy val spark = SparkTestBase.spark
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (f"v$a%03d", f"v$b%03d"))
+    } yield edges.filter(e => e._1 != e._2).distinct
+    check(Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = ConnectedComponents
+          .run(spark, edges.toDF("id1", "id2"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        // serial union-find with min representative
+        val parent = scala.collection.mutable.Map.empty[String, String]
+        def find(x: String): String = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        verts.forall(v => got(v) == find(v))
+      }
+    }, n = 12)
+  }
+}
