@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNPREFIXED: the bench/verify drivers
+// parse stdout for a bare JSON line, and sbt's default logger prepends
+// "[info] " to every forked line (which made BENCH_r01 unparseable).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

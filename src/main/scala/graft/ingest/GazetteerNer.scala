@@ -44,16 +44,21 @@ object GazetteerNer {
       surface.toLowerCase.foreach { c => n = n.next.getOrElseUpdate(c, new TrieNode) }
       n.hit = Some((surface, tpe))
     }
-    /** Longest word-boundary match starting at position i, if any. */
-    def longestAt(lower: String, i: Int): Option[Match] = {
+    /** Longest word-boundary match starting at position i, if any. The
+      * text is lowercased per-char at lookup (trie keys are lowercase) —
+      * no full-text lowercase copy, which at corpus scale was a measurable
+      * slice of the extraction pass's allocation.
+      */
+    def longestAt(text: String, i: Int): Option[Match] = {
       var n = root
       var j = i
       var best: Option[Match] = None
-      while (j < lower.length && n.next.contains(lower.charAt(j))) {
-        n = n.next(lower.charAt(j))
+      while (j < text.length &&
+          n.next.contains(Character.toLowerCase(text.charAt(j)))) {
+        n = n.next(Character.toLowerCase(text.charAt(j)))
         j += 1
         n.hit.foreach { case (surface, tpe) =>
-          val endOk = j >= lower.length || !Character.isLetterOrDigit(lower.charAt(j))
+          val endOk = j >= text.length || !Character.isLetterOrDigit(text.charAt(j))
           if (endOk) best = Some(Match(i, j, surface, tpe))
         }
       }
@@ -61,15 +66,27 @@ object GazetteerNer {
     }
   }
 
-  private def boundaryOk(lower: String, i: Int): Boolean =
-    i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))
+  private def boundaryOk(text: String, i: Int): Boolean =
+    i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))
 
-  /** Pooled compiled automaton (one per JVM/executor). */
-  lazy val trie: Trie = {
-    val t = new Trie
-    Fixtures.gazetteer.foreach(g => t.add(g.surface, g.tpe))
-    t
-  }
+  /** Pooled compiled automatons, one per (JVM, gazetteer): the gazetteer is
+    * DATA, not code — callers pass any surface→type table and the compiled
+    * trie is cached per executor so the compile cost is paid once per JVM,
+    * not per task. Keyed by the gazetteer value itself (tiny; equality scan
+    * on a cache hit is O(|gazetteer|)).
+    */
+  private val trieCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[Fixtures.GazEntry], Trie]
+
+  def trieFor(gaz: Seq[Fixtures.GazEntry]): Trie =
+    trieCache.computeIfAbsent(gaz, g => {
+      val t = new Trie
+      g.foreach(e => t.add(e.surface, e.tpe))
+      t
+    })
+
+  /** Pooled automaton for the default fixture gazetteer. */
+  def trie: Trie = trieFor(Fixtures.gazetteer)
 
   // Regex mention detectors for value-typed entities. Patterns anchored by
   // the scanner, not with \b, because boundary checks are shared with the
@@ -85,24 +102,25 @@ object GazetteerNer {
   }
 
   /** All non-overlapping leftmost-longest typed matches in `text`. */
-  def scan(text: String): Vector[Match] = {
-    val lower = text.toLowerCase
+  def scan(text: String): Vector[Match] = scan(text, trie)
+
+  def scan(text: String, automaton: Trie): Vector[Match] = {
     val cands = ArrayBuffer.empty[Match]
-    // trie candidates
+    // trie candidates (case-folding per char — no lowercase text copy)
     var i = 0
-    while (i < lower.length) {
-      if (boundaryOk(lower, i)) {
-        trie.longestAt(lower, i) match {
+    while (i < text.length) {
+      if (boundaryOk(text, i)) {
+        automaton.longestAt(text, i) match {
           case Some(m) => cands += m; i = m.end
           case None => i += 1
         }
       } else i += 1
     }
-    // regex candidates (boundary-checked)
+    // regex candidates (boundary-checked; patterns are CASE_INSENSITIVE)
     regexDetectors.foreach { case (pat, tpe) =>
       val m = pat.matcher(text)
       while (m.find()) {
-        val ok = boundaryOk(lower, m.start()) &&
+        val ok = boundaryOk(text, m.start()) &&
           (m.end() >= text.length || !Character.isLetterOrDigit(text.charAt(m.end())))
         if (ok) cands += Match(m.start(), m.end(), text.substring(m.start(), m.end()), tpe)
       }
@@ -118,8 +136,10 @@ object GazetteerNer {
   }
 
   /** Pure per-chunk mention extraction. */
-  def mentionsOf(chunk: ChunkRow): Vector[MentionRow] = {
-    val ms = scan(chunk.text)
+  def mentionsOf(chunk: ChunkRow): Vector[MentionRow] = mentionsOf(chunk, trie)
+
+  def mentionsOf(chunk: ChunkRow, automaton: Trie): Vector[MentionRow] = {
+    val ms = scan(chunk.text, automaton)
     val grouped = mutable.LinkedHashMap.empty[(String, String), (Int, Int)]
     ms.foreach { m =>
       val name = Tok.normalizeEntityName(m.name)
@@ -138,14 +158,17 @@ object GazetteerNer {
     }.toVector
   }
 
-  /** Distributed mention detection: narrow mapPartitions, automaton pooled
-    * per JVM via the lazy `trie`.
+  /** Distributed mention detection: narrow mapPartitions; the gazetteer
+    * table ships as a Spark broadcast (one copy per executor, not per task)
+    * and compiles into a pooled per-JVM trie.
     */
-  def detect(spark: SparkSession, chunks: Dataset[ChunkRow]): Dataset[MentionRow] = {
+  def detect(spark: SparkSession, chunks: Dataset[ChunkRow],
+      gazetteer: Seq[Fixtures.GazEntry] = Fixtures.gazetteer): Dataset[MentionRow] = {
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
     chunks.mapPartitions { it =>
-      val _ = trie // force pooled compile once per partition/JVM
-      it.flatMap(mentionsOf)
+      val automaton = trieFor(bc.value) // pooled compile once per JVM
+      it.flatMap(c => mentionsOf(c, automaton))
     }
   }
 }

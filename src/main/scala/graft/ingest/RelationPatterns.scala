@@ -47,10 +47,14 @@ object RelationPatterns {
     UntilDate.findFirstMatchIn(sentence).map(m => Date.valueOf(m.group(1)))
 
   /** Pure per-chunk triple extraction (raw, pre-dedup). */
-  def triplesOf(chunk: ChunkRow): Vector[TripleRow] = {
+  def triplesOf(chunk: ChunkRow): Vector[TripleRow] =
+    triplesOf(chunk, GazetteerNer.trie)
+
+  def triplesOf(chunk: ChunkRow,
+      automaton: GazetteerNer.Trie): Vector[TripleRow] = {
     val out = Vector.newBuilder[TripleRow]
     Tok.sentenceSplit(chunk.text).foreach { sentence =>
-      val ms = GazetteerNer.scan(sentence)
+      val ms = GazetteerNer.scan(sentence, automaton)
       if (ms.length >= 2) { // >=2 entities required (relation_extractor.py:84)
         val tStartOpt = parseTStart(sentence)
         val tEnd = parseTEnd(sentence)
@@ -78,14 +82,17 @@ object RelationPatterns {
   }
 
   /** Distributed extraction: narrow mapPartitions over chunks (shares the
-    * pooled NER automaton; no join with the mention table is needed because
-    * mention detection is pure per chunk).
+    * pooled NER automaton — gazetteer broadcast as data, compiled once per
+    * JVM; no join with the mention table is needed because mention
+    * detection is pure per chunk).
     */
-  def extract(spark: SparkSession, chunks: Dataset[ChunkRow]): Dataset[TripleRow] = {
+  def extract(spark: SparkSession, chunks: Dataset[ChunkRow],
+      gazetteer: Seq[Fixtures.GazEntry] = Fixtures.gazetteer): Dataset[TripleRow] = {
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
     chunks.mapPartitions { it =>
-      val _ = GazetteerNer.trie
-      it.flatMap(triplesOf)
+      val automaton = GazetteerNer.trieFor(bc.value)
+      it.flatMap(c => triplesOf(c, automaton))
     }
   }
 

@@ -8,9 +8,10 @@ import graft.core.Schema._
 import graft.synth.CorpusSynth
 import graft.text.Tok
 
-/** Span-preserving semantic chunker.
+/** Span-preserving chunker with the reference's strategy dispatch
+  * (chunker.py:57-90): `semantic` (default) or `fixed`.
   *
-  * Packing contract = the reference semantic chunker (chunker.py:92-178):
+  * Semantic packing contract = the reference semantic chunker (chunker.py:92-178):
   * greedy sentence packing into <= chunkSize tokens; on overflow emit the
   * chunk and seed the next with a suffix overlap of trailing sentences
   * totalling <= overlap tokens (chunker.py:146-160); a single sentence
@@ -29,11 +30,93 @@ import graft.text.Tok
   */
 object SpanChunker {
 
-  final case class Config(chunkSize: Int = 200, overlap: Int = 40) {
+  final case class Config(chunkSize: Int = 200, overlap: Int = 40,
+      strategy: String = "semantic") {
     require(overlap < chunkSize, "overlap must be smaller than chunk size")
+    require(strategy == "semantic" || strategy == "fixed",
+      s"unknown chunking strategy '$strategy' (semantic|fixed)")
   }
 
-  def chunkDoc(doc: DocRow, meta: DocMeta, cfg: Config): Vector[ChunkRow] = {
+  /** estimate_chunks (chunker.py:300-331): ceil(total / (size - overlap));
+    * overlap >= size is rejected by Config.
+    */
+  def estimateChunks(totalTokens: Int, cfg: Config): Int =
+    if (totalTokens <= 0) 0
+    else math.ceil(totalTokens.toDouble / (cfg.chunkSize - cfg.overlap)).toInt
+
+  /** Strategy dispatch (chunker.py:57-90). */
+  def chunkDoc(doc: DocRow, meta: DocMeta, cfg: Config): Vector[ChunkRow] =
+    if (cfg.strategy == "fixed") chunkDocFixed(doc, meta, cfg)
+    else chunkDocSemantic(doc, meta, cfg)
+
+  /** Fixed-window token starts for a token count: start = k·(size−overlap)
+    * while start < nTokens (the reference _chunk_fixed loop,
+    * chunker.py:195-233). Shared by the chunker and SparkEntry's
+    * DuckDB-checkable q_chunk_fixed.
+    */
+  def fixedWindowStarts(nTokens: Int, cfg: Config): Vector[Int] = {
+    val step = math.max(1, cfg.chunkSize - cfg.overlap)
+    Iterator.from(0).map(_ * step).takeWhile(_ < nTokens).toVector
+  }
+
+  /** Fixed-strategy chunking (chunker.py:195-233): the document's token
+    * stream (text spans concatenated in offset order) is cut into sliding
+    * windows of `chunkSize` tokens with stride chunkSize − overlap; decode
+    * = space-join (the deterministic stand-in for tiktoken decode).
+    *
+    * Span ownership keeps the north-rule invariant: a text span is owned by
+    * the window in which its FIRST token is new (not overlap-copied); a
+    * media span by the owner of the nearest preceding text token (window 0
+    * when none). Owners are monotone in span order, so concatenating
+    * `spans` over chunks in chunk_index order reproduces the original
+    * sequence.
+    */
+  def chunkDocFixed(doc: DocRow, meta: DocMeta, cfg: Config): Vector[ChunkRow] = {
+    val periodEnd = CorpusSynth.fiscalPeriodEnd(meta.year, meta.quarter)
+    val step = math.max(1, cfg.chunkSize - cfg.overlap)
+    // token t is first covered (new) in window 0 when t < chunkSize, else
+    // in window floor((t - chunkSize) / step) + 1
+    def windowOfNewToken(t: Int): Int =
+      if (t < cfg.chunkSize) 0 else (t - cfg.chunkSize) / step + 1
+
+    val ordered = doc.spans.sortBy(_.offset)
+    val tokens = ArrayBuffer.empty[String]
+    val ownerOf = ordered.map { span =>
+      if (span.kind == "text") {
+        val firstTok = tokens.length
+        tokens ++= Tok.tokenize(span.text)
+        if (tokens.length > firstTok) windowOfNewToken(firstTok)
+        // empty text span: attach like media to the preceding token's owner
+        else if (firstTok == 0) 0
+        else windowOfNewToken(firstTok - 1)
+      } else if (tokens.isEmpty) 0
+      else windowOfNewToken(tokens.length - 1)
+    }
+    val starts = fixedWindowStarts(tokens.length, cfg)
+    // a doc with no text tokens still emits one empty chunk owning its spans
+    val effStarts = if (starts.isEmpty) Vector(0) else starts
+    effStarts.zipWithIndex.map { case (start, idx) =>
+      val end = math.min(start + cfg.chunkSize, tokens.length)
+      val owned = ordered.zip(ownerOf).collect {
+        case (span, owner) if owner == idx => span
+      }
+      ChunkRow(
+        chunk_id = s"${doc.doc_id}#$idx",
+        doc_id = doc.doc_id,
+        chunk_index = idx,
+        text = tokens.slice(start, end).mkString(" "),
+        token_count = math.max(end - start, 0),
+        fiscal_year = meta.year,
+        fiscal_quarter = meta.quarter,
+        fiscal_period_end = periodEnd,
+        version = 1,
+        is_current = true,
+        spans = owned)
+    }
+  }
+
+  /** Semantic strategy (the north-rule default). */
+  def chunkDocSemantic(doc: DocRow, meta: DocMeta, cfg: Config): Vector[ChunkRow] = {
     val periodEnd = CorpusSynth.fiscalPeriodEnd(meta.year, meta.quarter)
 
     final case class Pending(text: String, tokens: Int)

@@ -93,13 +93,12 @@ object Linker {
     * AFTER the similarity filter so the big shuffle carries only survivors.
     */
   def candidates(entities: DataFrame, maxBucketSize: Long = 10000L,
-      saltGroups: Int = 8): DataFrame = {
+      saltGroups: Int = 8, broadcastFeatures: Boolean = true): DataFrame = {
+    val spark = entities.sparkSession
     val e = entities
       .select(col("entity_id"), col("name"), col("entity_type"))
       .withColumn("simp", simplifyLowerUdf(col("name")))
-      .withColumn("feat", featUdf(col("name")))
     val keyedAll = e.select(col("entity_id"), col("name"), col("entity_type"),
-      col("feat"),
       explode(array_distinct(array(
         concat_ws("|", col("entity_type"), split(col("simp"), " ").getItem(0)),
         concat_ws("|", col("entity_type"), substring(col("simp"), 1, 4)),
@@ -110,17 +109,41 @@ object Linker {
     val keyed = keyedAll.join(bucketCounts, Seq("bkey"))
       .where(col("bcount") <= lit(maxBucketSize))
       .drop("bcount")
+    // the join sides ship ONLY (key, id, name): the ~0.5 KB sparse feature
+    // vectors stay OUT of the salted self-join shuffle (shipping them
+    // replicated x saltGroups made the join shuffle ~1 GB and memory-
+    // bandwidth-bound — measured flat 2->8-core scaling on this box);
+    // features attach to the surviving pair stream afterwards via two
+    // narrow hash joins against the per-entity feature table
     val a = keyed.select(col("bkey").as("k1"), col("entity_id").as("id1"),
-      col("name").as("name1"), col("entity_type"),
-      col("feat._1").as("fi1"), col("feat._2").as("fv1"))
+      col("name").as("name1"), col("entity_type"))
       .withColumn("grp", explode(sequence(lit(0), lit(saltGroups - 1))))
     val b = keyed.select(col("bkey").as("k2"), col("entity_id").as("id2"),
       col("name").as("name2"),
-      col("feat._1").as("fi2"), col("feat._2").as("fv2"),
       pmod(xxhash64(col("entity_id")), lit(saltGroups)).cast("int").as("g2"))
+    // spread the (bkey, salt-group) units over more partitions than cores:
+    // with shuffle.partitions == cores, several of a hot bucket's salt
+    // groups hash-collide into one task and the join straggles
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 32)
+    val rawPairs = a.repartition(parts, col("k1"), col("grp"))
+      .join(b.repartition(parts, col("k2"), col("g2")),
+        col("k1") === col("k2") && col("grp") === col("g2") &&
+          col("id1") < col("id2"))
+    // feature table: one row per entity. Broadcast at realistic entity
+    // counts (the gazetteer-bounded vocabulary is tiny next to the corpus);
+    // pass broadcastFeatures=false when the entity table itself outgrows
+    // executor memory — the id-keyed join is uniform, so the shuffle path
+    // has no skew.
+    val featTable = e.select(col("entity_id"), featUdf(col("name")).as("feat"))
+    val feats = if (broadcastFeatures) broadcast(featTable) else featTable
     val blockSlack = Const.EmbThreshold * Const.BlockingSlack
-    val pairs = a.join(b, col("k1") === col("k2") && col("grp") === col("g2") &&
-        col("id1") < col("id2"))
+    val pairs = rawPairs
+      .join(feats.select(col("entity_id").as("id1f"),
+        col("feat._1").as("fi1"), col("feat._2").as("fv1")),
+        col("id1") === col("id1f"))
+      .join(feats.select(col("entity_id").as("id2f"),
+        col("feat._1").as("fi2"), col("feat._2").as("fv2")),
+        col("id2") === col("id2f"))
       .withColumn("emb_sim", dotUdf(col("fi1"), col("fv1"), col("fi2"), col("fv2")))
       .where(col("emb_sim") >= lit(blockSlack))
       .select(col("id1"), col("name1"), col("id2"), col("name2"),

@@ -45,27 +45,28 @@ object Dedup {
         array_sort(collect_list(col("doc_id"))).as("doc_ids"))
       .where(col("dup_count") > 1)
 
-  /** Inverted shingle index rows (doc_id, sh_size, shingle) via a typed
-    * flatMap — a compiled kernel; the column-HOF formulation (transform +
-    * slice per position) is interpreted row-by-row and was ~30x slower.
+  /** Compiled shingling kernel (distinct word n-grams of the lowercased
+    * text): the column-HOF formulation (transform + slice per position) is
+    * interpreted row-by-row and was ~30x slower.
     */
-  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        val sh: Array[String] =
-          if (toks.length >= n)
-            Iterator.range(0, toks.length - n + 1)
-              .map(i => toks.slice(i, i + n).mkString(" "))
-              .toSet.toArray
-          else Array.empty[String]
-        val k = sh.length
-        sh.iterator.map(s => (id, k, s))
-      }.toDF("doc_id", "sh_size", "shingle")
+  private def shingleArr(n: Int) = udf { (text: String) =>
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length >= n)
+      Iterator.range(0, toks.length - n + 1)
+        .map(i => toks.slice(i, i + n).mkString(" "))
+        .toSet.toArray
+    else Array.empty[String]
   }
+
+  /** Inverted shingle index rows (doc_id, sh_size, shingle). doc_id keeps
+    * its ORIGINAL type (long testdata ids and string sha2 ids both work);
+    * the shingle array is computed once per row by the compiled kernel,
+    * then exploded.
+    */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingleArr(n)(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sh_size"),
+        explode(col("sh")).as("shingle"))
 
   /** N-gram Jaccard near-dup: inverted-index self-join on shingles →
     * per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
@@ -160,20 +161,70 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Exact-Jaccard verification of a candidate pair list: each side joins
+    * to its distinct-shingle set and the pair intersects in place — the
+    * standard LSH-then-verify shape, so verification cost scales with
+    * |candidates| (tiny), never all pairs. This also makes hash-blocked
+    * dedup DuckDB-checkable: the output is exact Jaccard >= threshold,
+    * which an oracle can recompute without knowing the hashing.
+    */
+  def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleArr(n)(col("text")).as("sh"))
+    cands.select("id1", "id2")
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash LSH candidates + exact-Jaccard verify: emits the pairs whose
+    * TRUE Jaccard >= threshold among band-bucket candidates. Equals the
+    * exact all-pairs result whenever banding recall is 1 at the threshold
+    * (16 bands x 4 rows: miss probability (1-J^4)^16 < 1e-6 at J=0.875) —
+    * which the DuckDB oracle checks row-for-row.
+    */
+  def minhashLshExact(docs: DataFrame, n: Int = 4, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashLsh(docs, n, numHashes, bands, threshold = 0.0)
+    verifyJaccard(docs, cands, n, threshold)
+  }
+
+  /** SimHash band candidates + exact-Jaccard verify (same contract as
+    * minhashLshExact, different candidate generator). 8 bands x 8 bits
+    * guarantees any pair within Hamming distance 7 shares a band — measured
+    * on the synthetic corpus, token swaps put near-identical docs
+    * (Jaccard >= 0.95) at Hamming 0-5, so <=7 has full recall there.
+    */
+  def simhashExact(docs: DataFrame, maxHamming: Int = 7, n: Int = 4,
+      threshold: Double = 0.9): DataFrame =
+    verifyJaccard(docs, simhashNearDup(docs, maxHamming, bands = 8), n,
+      threshold)
+
   /** SimHash near-dup: fingerprint via the native SimHash64 Catalyst
     * expression (whole-stage codegen'd, graft.functions.SimHash64), then
-    * band the 64-bit hash into 4×16-bit keys (pigeonhole: any pair within
-    * Hamming distance 3 shares at least one exact band); candidates sharing
-    * a band are verified with bit_count(xor) <= maxHamming.
+    * band the 64-bit hash into `bands` keys of 64/bands bits (pigeonhole:
+    * any pair within Hamming distance bands-1 shares at least one exact
+    * band); candidates sharing a band are verified with
+    * bit_count(xor) <= maxHamming. More bands = wider Hamming recall but
+    * smaller keys → more candidates per bucket; 4x16 suits exact-ish dups,
+    * 8x8 suits token-level edits.
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val withSim = docs.select(col("doc_id"),
       graft.functions.SimHash64.simhash64(col("text")).as("sim"))
       .persist()
     val banded = withSim.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+          shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
     val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"),

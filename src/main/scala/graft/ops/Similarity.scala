@@ -87,9 +87,12 @@ object Similarity {
     * partition pruning, not a scan.
     */
   def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
-      planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+      planes: Int = 8, multiProbe: Boolean = true, roundTo: Int = 6,
+      excludeId: Option[Long] = None): DataFrame = {
     val q = typedLit(query)
-    val withBucket = embeddings.select(col("vec_id"), col("embedding"),
+    val base = excludeId.map(id => embeddings.where(col("vec_id") =!= id))
+      .getOrElse(embeddings)
+    val withBucket = base.select(col("vec_id"), col("embedding"),
       signLshBucket(col("embedding"), planes).as("bucket"))
     val qBucket = signLshBucket(q, planes)
     val probeSet = if (multiProbe)
@@ -98,7 +101,8 @@ object Similarity {
     else array(qBucket)
     withBucket
       .where(array_contains(probeSet, col("bucket")))
-      .select(col("vec_id"), round(cosineCol(col("embedding"), q), 6).as("score"))
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding"), q), roundTo).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -95,6 +95,23 @@ object TextAnalysis {
         .as("type_token_ratio"))
   }
 
+  /** Windowed fingerprint digest (winnowing-style, DuckDB-checkable): the
+    * lowercased whitespace tokens are cut into consecutive w-token blocks,
+    * each block md5-hashed; emits the block count and the min/max block
+    * hash — the digest an incremental dedup index would store per doc. The
+    * xxhash64-chain variant (fingerprint below) is the cheap at-scale path;
+    * this one exists so the windowing logic has a driver-checkable oracle.
+    */
+  def windowFingerprint(docs: DataFrame, w: Int = 8): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val nw = ceil(size(toks).cast("double") / w).cast("int")
+    val hashes = transform(sequence(lit(0), nw - 1), k =>
+      md5(concat_ws(" ", slice(toks, k * w + 1, lit(w))).cast("binary")))
+    docs.select(col("doc_id"), nw.as("n_windows"),
+      when(nw > 0, array_min(hashes)).as("win_md5_min"),
+      when(nw > 0, array_max(hashes)).as("win_md5_max"))
+  }
+
   /** Document fingerprints: md5 content hash (exact-dedup key) and a
     * 64-bit rolling hash over whitespace tokens — order-sensitive (token
     * swaps change it) and whitespace/casing-robust — computed with

@@ -47,7 +47,8 @@ object SerialOracle {
       dupPairs: Vector[(String, String)],
       canonicalOf: Map[String, String],
       nodes: Vector[(Entity, Vector[String])], // canonical node + merged ids
-      edges: Vector[Triple]) // canonicalized + re-deduped
+      edges: Vector[Triple], // canonicalized + re-deduped
+      mentionsFinal: Vector[MentionRow]) // canonicalized + re-grouped
 
   def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -67,12 +68,14 @@ object SerialOracle {
 
   final case class M(start: Int, end: Int, name: String, tpe: String)
 
-  def scan(text: String): Vector[M] = {
+  def scan(text: String): Vector[M] = scan(text, Fixtures.gazetteer)
+
+  def scan(text: String, gaz: Seq[Fixtures.GazEntry]): Vector[M] = {
     val lower = text.toLowerCase
     def bOk(i: Int) = i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))
     def eOk(i: Int) = i >= lower.length || !Character.isLetterOrDigit(lower.charAt(i))
     val cands = mutable.ArrayBuffer.empty[M]
-    Fixtures.gazetteer.foreach { g =>
+    gaz.foreach { g =>
       val s = g.surface.toLowerCase
       var from = 0
       var i = lower.indexOf(s, from)
@@ -96,9 +99,10 @@ object SerialOracle {
     out.result()
   }
 
-  def mentionsOf(chunk: ChunkRow): Vector[MentionRow] = {
+  def mentionsOf(chunk: ChunkRow,
+      gaz: Seq[Fixtures.GazEntry] = Fixtures.gazetteer): Vector[MentionRow] = {
     val grouped = mutable.LinkedHashMap.empty[(String, String), (Int, Int)]
-    scan(chunk.text).foreach { m =>
+    scan(chunk.text, gaz).foreach { m =>
       val name = Tok.normalizeEntityName(m.name)
       if (name.nonEmpty) {
         val key = (name, m.tpe)
@@ -127,10 +131,11 @@ object SerialOracle {
     Date.valueOf(f"$year%04d-$m%02d-$d%02d")
   }
 
-  def triplesOf(chunk: ChunkRow): Vector[Triple] = {
+  def triplesOf(chunk: ChunkRow,
+      gaz: Seq[Fixtures.GazEntry] = Fixtures.gazetteer): Vector[Triple] = {
     val out = Vector.newBuilder[Triple]
     Tok.sentenceSplit(chunk.text).foreach { sentence =>
-      val ms = scan(sentence)
+      val ms = scan(sentence, gaz)
       if (ms.length >= 2) {
         val tStart = OnDate.findFirstMatchIn(sentence).map(m => Date.valueOf(m.group(1)))
           .orElse(InQuarter.findFirstMatchIn(sentence)
@@ -266,12 +271,13 @@ object SerialOracle {
   // ---- full run -----------------------------------------------------------
 
   def run(docs: Seq[(DocRow, DocMeta)],
-      cfg: SpanChunker.Config = SpanChunker.Config()): Result = {
+      cfg: SpanChunker.Config = SpanChunker.Config(),
+      gaz: Seq[Fixtures.GazEntry] = Fixtures.gazetteer): Result = {
     val chunks = docs.iterator.flatMap { case (d, m) =>
       SpanChunker.chunkDoc(d, m, cfg)
     }.toVector
-    val mentions = chunks.flatMap(mentionsOf)
-    val triplesRaw = chunks.flatMap(triplesOf)
+    val mentions = chunks.flatMap(c => mentionsOf(c, gaz))
+    val triplesRaw = chunks.flatMap(c => triplesOf(c, gaz))
     val triples = dedupTriples(triplesRaw)
     val entities = aggregateEntities(mentions)
     val pairs = dupPairs(entities)
@@ -302,7 +308,30 @@ object SerialOracle {
     }.filter(t => t.subj != t.obj)
     val edges = dedupTriples(rewritten)
 
+    // canonical mention view (graph/operations.py:358-370 repoints MENTIONS
+    // to the canonical entity): rewrite names, re-group per (chunk, name,
+    // type) with min position, summed counts, max confidence — the serial
+    // mirror of Canonicalize.rewriteMentions.
+    val mentionsFinal = {
+      val mm = mutable.LinkedHashMap.empty[(String, String, String, String), MentionRow]
+      mentions.foreach { mn =>
+        val cname = canonName(mn.entity_name, mn.entity_type)
+        val key = (mn.chunk_id, mn.doc_id, cname, mn.entity_type)
+        mm.get(key) match {
+          case None => mm(key) = mn.copy(entity_name = cname)
+          case Some(prev) => mm(key) = prev.copy(
+            position = math.min(prev.position, mn.position),
+            mention_count = prev.mention_count + mn.mention_count,
+            confidence = math.max(prev.confidence, mn.confidence),
+            context = if (mn.context < prev.context) mn.context else prev.context,
+            valid_from = if (mn.valid_from.before(prev.valid_from)) mn.valid_from
+              else prev.valid_from)
+        }
+      }
+      mm.values.toVector
+    }
+
     Result(chunks, mentions, triplesRaw, entities, pairs, canonicalOf,
-      nodes, edges)
+      nodes, edges, mentionsFinal)
   }
 }

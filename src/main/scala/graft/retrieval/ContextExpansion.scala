@@ -60,6 +60,33 @@ object ContextExpansion {
       .drop("rn")
   }
 
+  /** Textual context assembly for RAG (context_expansion.py:276-319):
+    * per result "[Result i from 'title']", the chunk text, the top-5 entity
+    * names, and 200-char previews of the previous/next chunk. Driver-side
+    * string formatting over an already-small top-k result set, exactly like
+    * the reference.
+    *
+    * Input rows need (chunk_id, text, doc_title, entities:Seq[String],
+    * prev_preview, next_preview) — the output shape of
+    * withNeighbors ∘ withEntityDetails.
+    */
+  def buildContextSummary(
+      rows: Seq[(String, String, String, Seq[String], Option[String], Option[String])]): String = {
+    val parts = rows.zipWithIndex.flatMap {
+      case ((_, text, title, entities, prev, next), i) =>
+        Seq(s"[Result ${i + 1} from '$title']", text) ++
+          (if (entities.nonEmpty)
+            Seq(s"Key entities: ${entities.take(5).mkString(", ")}")
+          else Seq.empty) ++
+          prev.toSeq.flatMap(p =>
+            Seq("[Previous context]", p.take(200) + "...")) ++
+          next.toSeq.flatMap(n =>
+            Seq("[Following context]", n.take(200) + "...")) ++
+          Seq("")
+    }
+    parts.mkString("\n")
+  }
+
   /** Document context (context_expansion.py:202-226): per document the
     * chunk count and the top-10 entity names by doc-level mention volume.
     */

@@ -112,6 +112,24 @@ object GraphSearch {
       .limit(topK)
   }
 
+  /** Full co-occurrence search (graph_search.py:311-365): find the top-10
+    * entities co-mentioned with `name` in >= minShared chunks, then run the
+    * ANY-match search over name + those entities. The co-occurring list is
+    * <= 10 rows — collecting it to the driver mirrors the reference's own
+    * two-query flow and is the right call at any scale (the list is the
+    * query, not the data).
+    */
+  def searchByCooccurrence(spark: SparkSession, mentions: DataFrame,
+      name: String, minShared: Int = 2, topK: Int = 10): DataFrame = {
+    val cooccurring = cooccurringEntities(mentions, name, minShared, topK = 10)
+      .select(col("entity_name")).collect().map(_.getString(0)).toSeq
+    if (cooccurring.isEmpty)
+      mentions.select(col("chunk_id")).limit(0)
+        .withColumn("matched", lit(0L)).withColumn("score", lit(0.0))
+    else
+      searchByEntitiesAny(spark, mentions, name +: cooccurring, topK)
+  }
+
   /** Documents sharing >= minShared distinct entities with `docId`
     * (graph/queries.py:96-129).
     */

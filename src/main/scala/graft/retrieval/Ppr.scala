@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Semantics preserved: damping 0.85, uniform seed init 1/|seeds|, per-step
   * share = d·score/outdeg along undirected induced edges (w = 1.0),
-  * teleport mass (1−d) + dangling mass distributed uniformly over seeds,
-  * L1 normalization, convergence |Δ|₁ < 1e-6 or 20 iterations
-  * (ppr_traversal.py settings 123-142).
+  * constant teleport mass (1−d)·seedShare added to each seed, dangling mass
+  * DROPPED (the reference never redistributes it — the L1 normalization
+  * that follows is what restores total mass, ppr_traversal.py:240-252),
+  * convergence |Δ|₁ < 1e-6 or 20 iterations (settings 123-142).
   *
   * Scale posture: the iteration runs over the *bounded 2-hop induced
   * subgraph* around the seeds (ppr_traversal.py:261-335) — never the full
@@ -79,8 +80,10 @@ object Ppr {
     var delta = Double.MaxValue
     var it = 0
     while (it < MaxIter && delta >= Tol) {
-      val dangling = verts.filterNot(outdeg.contains).map(score).sum
-      val teleport = (1.0 - Damping) + Damping * dangling
+      // dangling mass is dropped, not redistributed: the reference only adds
+      // the constant (1-d) teleport to the seeds and then renormalizes
+      // (ppr_traversal.py:240-252)
+      val teleport = 1.0 - Damping
       val raw = verts.map { v =>
         val inflow = inEdges.getOrElse(v, Seq.empty)
           .map { case (u, _) => Damping * score(u) / outdeg(u) }.sum
@@ -106,8 +109,11 @@ object Ppr {
 
     val edgeCount = subgraph.count()
     if (edgeCount <= localEdgeCap) {
+      // sorted so the serial iteration's double-sum order is independent of
+      // partition collect order (bit-reproducible across runs and vs the
+      // serial oracle)
       val edges = subgraph.select(col("src"), col("dst")).collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
       val seeds = seedSet.collect().map(_.getString(0)).toSet
       seedSet.unpersist()
       return serialScores(edges, seeds).toSeq.toDF("entity", "ppr")
@@ -137,11 +143,11 @@ object Ppr {
         .join(flowing, subgraph("src") === flowing("entity"))
         .groupBy(col("dst").as("entity"))
         .agg(sum(col("share") * lit(Damping)).as("inflow"))
-      // teleport (1-d) plus the damped mass of dangling vertices goes to
-      // the seeds uniformly, keeping total mass 1 before normalization
-      val danglingMass = cur.join(outdeg, Seq("entity"), "left_anti")
-        .agg(coalesce(sum(col("score")), lit(0.0))).head().getDouble(0)
-      val teleport = (1.0 - Damping) + Damping * danglingMass
+      // constant (1-d) teleport to the seeds only; dangling mass is dropped
+      // and the L1 normalization below restores total mass — the reference
+      // semantics (ppr_traversal.py:240-252). Also saves one driver action
+      // per iteration vs computing a dangling-mass aggregate.
+      val teleport = 1.0 - Damping
       val next0 = vertices
         .join(propagated, Seq("entity"), "left")
         .join(seedSet.withColumn("is_seed", lit(true)), Seq("entity"), "left")
@@ -166,6 +172,9 @@ object Ppr {
 
   /** Chunk scoring: score(chunk) = Σ ppr(entity)·mention_confidence over
     * the top-`entityCap` PPR entities (ppr_traversal.py:337-425, cap 50).
+    * The score is rounded to 6dp BEFORE the ordering cut so the top-k set
+    * is deterministic across summation orders (distributed double sums are
+    * order-dependent in the last bits; ties then break on chunk_id).
     */
   def scoreChunks(mentions: DataFrame, pprScores: DataFrame,
       entityCap: Int = 50, topK: Int = 10): DataFrame = {
@@ -173,7 +182,7 @@ object Ppr {
     mentions
       .join(top, lower(col("entity_name")) === col("entity"))
       .groupBy(col("chunk_id"))
-      .agg(sum(col("ppr") * col("confidence")).as("score"))
+      .agg(round(sum(col("ppr") * col("confidence")), 6).as("score"))
       .orderBy(col("score").desc, col("chunk_id").asc)
       .limit(topK)
   }

@@ -142,11 +142,15 @@ object Temporal {
       (col("created_at") >= lit(s) && col("created_at") <= lit(e)) ||
       (col("superseded_at") >= lit(s) && col("superseded_at") <= lit(e)))
 
-  /** Keep the newest `keep` versions of each chain (versioning.py:224-262). */
+  /** Delete versions beyond `keep` predecessors of the current head: the
+    * reference deletes rows whose SUPERSEDES path length from the current
+    * version exceeds `keep` (versioning.py:224-262), i.e. it KEEPS the
+    * current version plus `keep` superseded ones — keep+1 rows per chain.
+    */
   def pruneOldVersions(versioned: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy(col("lineage_id")).orderBy(col("version").desc)
     versioned.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= keep).drop("rn")
+      .where(col("rn") <= keep + 1).drop("rn")
   }
 
   // --------------------------------------------------------------------

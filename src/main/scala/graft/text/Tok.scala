@@ -1,7 +1,5 @@
 package graft.text
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Deterministic text kernels shared bit-for-bit by the distributed engine
   * and the serial oracle (SURVEY §7.4.6: tiktoken is unavailable offline on
   * the JVM, so token_count is defined by THIS tokenizer on both sides; the
@@ -166,76 +164,4 @@ object Tok {
     sb.toString
   }
 
-  /** Greedy sentence packing per the reference semantic chunker
-    * (chunker.py:92-178). Returns chunk assignments as
-    * (sentenceIndicesOwned, textOfChunk, tokenCount) where
-    * sentenceIndicesOwned are the NON-overlap sentences first placed in the
-    * chunk (overlap sentences are re-included in the next chunk's text only).
-    *
-    * tokenOf(i) must equal countTokens(sentences(i)).
-    */
-  def packSentences(
-      sentences: IndexedSeq[String],
-      tokenOf: Int => Int,
-      chunkSize: Int,
-      overlap: Int): Vector[(Vector[Int], String, Int)] = {
-    val out = ArrayBuffer.empty[(Vector[Int], String, Int)]
-    // current chunk state: list of (sentence text, owned index or -1 for
-    // overlap-copies, token count)
-    var cur = Vector.empty[(String, Int, Int)]
-    var curTokens = 0
-
-    def emit(): Unit = {
-      if (cur.nonEmpty) {
-        val text = cur.map(_._1).mkString(" ")
-        out += ((cur.map(_._2).filter(_ >= 0), text, curTokens))
-      }
-    }
-
-    var i = 0
-    while (i < sentences.length) {
-      val s = sentences(i)
-      val st = tokenOf(i)
-      if (st > chunkSize) {
-        // single oversized sentence: flush current, then token-window split
-        emit(); cur = Vector.empty; curTokens = 0
-        val toks = tokenize(s)
-        var start = 0
-        var first = true
-        val step = math.max(1, chunkSize - overlap)
-        while (start < toks.length) {
-          val end = math.min(start + chunkSize, toks.length)
-          val part = toks.slice(start, end).mkString(" ")
-          // the oversized sentence is owned by its FIRST emitted window
-          out += ((if (first) Vector(i) else Vector.empty, part, end - start))
-          first = false
-          start += step
-        }
-      } else if (curTokens + st > chunkSize && cur.nonEmpty) {
-        emit()
-        // suffix overlap: trailing sentences totalling <= overlap tokens
-        // (chunker.py:146-160)
-        var overlapChunk = Vector.empty[(String, Int, Int)]
-        var overlapTokens = 0
-        var j = cur.length - 1
-        var break = false
-        while (j >= 0 && !break) {
-          val (txt, _, tc) = cur(j)
-          if (overlapTokens + tc <= overlap) {
-            overlapChunk = (txt, -1, tc) +: overlapChunk
-            overlapTokens += tc
-            j -= 1
-          } else break = true
-        }
-        cur = overlapChunk :+ ((s, i, st))
-        curTokens = overlapTokens + st
-      } else {
-        cur = cur :+ ((s, i, st))
-        curTokens += st
-      }
-      i += 1
-    }
-    emit()
-    out.toVector
-  }
 }

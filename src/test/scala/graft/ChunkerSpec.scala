@@ -76,6 +76,48 @@ class ChunkerSpec extends AnyFunSuite {
     assert(media === Seq("media://doc_m/0", "media://doc_m/1", "media://doc_m/2"))
   }
 
+  test("fixed strategy: sliding token windows with stride size-overlap") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val doc = DocRow("doc_f", Vector(Span("text", words, "", 0)))
+    val meta = DocMeta("doc_f", "Acme", "AC", "Technology", 2021, "Q2", "", 0)
+    val fixedCfg = SpanChunker.Config(40, 10, strategy = "fixed")
+    val chunks = SpanChunker.chunkDoc(doc, meta, fixedCfg)
+    // 100 tokens, stride 30: windows at 0, 30, 60, 90
+    assert(chunks.length === 4)
+    assert(chunks.map(_.token_count) === Vector(40, 40, 40, 10))
+    assert(chunks.head.text.startsWith("w1 w2 ") &&
+      chunks(1).text.startsWith("w31 "))
+    // consecutive windows share exactly `overlap` tokens
+    val t0 = chunks(0).text.split(" ").toSeq
+    val t1 = chunks(1).text.split(" ").toSeq
+    assert(t0.takeRight(10) === t1.take(10))
+    // the single text span is owned exactly once (by the first window)
+    assert(chunks.map(_.spans.length).sum === 1)
+    assert(chunks.head.spans.length === 1)
+  }
+
+  test("fixed strategy preserves span sequences incl. media on 300 docs") {
+    val fixedCfg = SpanChunker.Config(60, 12, strategy = "fixed")
+    CorpusSynth.serial(300, seed = 42).foreach { case (doc, meta) =>
+      val chunks = SpanChunker.chunkDoc(doc, meta, fixedCfg)
+      val got = reassemble(chunks).map(s => (s.kind, s.text, s.media_ref, s.offset))
+      val want = doc.spans.sortBy(_.offset).map(s => (s.kind, s.text, s.media_ref, s.offset))
+      assert(got === want, s"span sequence broken for ${doc.doc_id}")
+      assert(chunks.map(_.chunk_index) === chunks.indices.toVector)
+      chunks.foreach(c => assert(c.token_count <= fixedCfg.chunkSize))
+    }
+  }
+
+  test("estimateChunks: ceil(total / (size - overlap)); bad overlap rejected") {
+    val c = SpanChunker.Config(50, 10)
+    assert(SpanChunker.estimateChunks(0, c) === 0)
+    assert(SpanChunker.estimateChunks(40, c) === 1)
+    assert(SpanChunker.estimateChunks(41, c) === 2)
+    assert(SpanChunker.estimateChunks(400, c) === 10)
+    assertThrows[IllegalArgumentException](SpanChunker.Config(50, 50))
+    assertThrows[IllegalArgumentException](SpanChunker.Config(50, 10, "bogus"))
+  }
+
   test("all-media doc still yields one chunk owning every span") {
     val doc = DocRow("doc_am", Vector(
       Span("image", "", "media://doc_am/0", 0),

@@ -78,9 +78,16 @@ class KernelPropertySpec extends AnyFunSuite {
     } yield edges.filter(e => e._1 != e._2).distinct
     check(Prop.forAll(edgeGen) { edges =>
       edges.isEmpty || {
+        // localEdgeCap = 0 forces the distributed label-propagation loop;
+        // the default takes the driver-local union-find fast path — both
+        // must agree with the serial spec
+        val distributed = ConnectedComponents
+          .run(spark, edges.toDF("id1", "id2"), localEdgeCap = 0L)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         val got = ConnectedComponents
           .run(spark, edges.toDF("id1", "id2"))
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(distributed === got)
         // serial union-find with min representative
         val parent = scala.collection.mutable.Map.empty[String, String]
         def find(x: String): String = {

@@ -63,6 +63,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("LSH-then-verify dedup equals exact ground truth on this corpus") {
+    val want = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
+      maxShingleDf = 100000L)
+      .select("id1", "id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val minhash = Dedup.minhashLshExact(docs, n = 3, numHashes = 64,
+      bands = 16, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(minhash === want)
+    // exact dups (J=1.0) must survive the simhash path at any band width
+    val simhash = Dedup.simhashExact(docs, maxHamming = 7, n = 3,
+      threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simhash === Set((0L, 1L)))
+  }
+
+  test("windowed fingerprint digest: block count and min/max hashes") {
+    val f = TextAnalysis.windowFingerprint(docs, w = 4)
+      .where(col("doc_id") === 0L).head()
+    assert(f.getAs[Int]("n_windows") === 3) // 9 tokens / 4 -> 3 blocks
+    assert(f.getAs[String]("win_md5_min") != null)
+    assert(f.getAs[String]("win_md5_min") <= f.getAs[String]("win_md5_max"))
+    // identical docs -> identical digests
+    val all = TextAnalysis.windowFingerprint(docs, w = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_windows"), r.getAs[String]("win_md5_min"))).toMap
+    assert(all(0L) === all(1L))
+  }
+
   test("brute-force ANN: self is nearest with score 1") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

@@ -88,6 +88,27 @@ class ParitySpec extends AnyFunSuite {
     assert(r >= 0.95, f"recall $r%.4f < 0.95")
   }
 
+  test("gazetteer is data: engine == oracle under a non-fixture gazetteer") {
+    // a custom vocabulary over the same corpus: half the fixture surfaces
+    // plus entries that don't exist in fixtures at all
+    import graft.fixtures.Fixtures.GazEntry
+    val custom = graft.fixtures.Fixtures.gazetteer.zipWithIndex
+      .collect { case (g, i) if i % 2 == 0 => g } ++
+      Vector(GazEntry("revenue growth", "OTHER"), GazEntry("guidance", "OTHER"))
+    val engineMentions = graft.ingest.GazetteerNer
+      .detect(spark, engine.chunks, custom)
+      .collect()
+      .map(m => (m.chunk_id, m.entity_name, m.entity_type, m.position,
+        m.mention_count)).toSet
+    val oracleMentions = oracle.chunks
+      .flatMap(c => SerialOracle.mentionsOf(c, custom))
+      .map(m => (m.chunk_id, m.entity_name, m.entity_type, m.position,
+        m.mention_count)).toSet
+    assert(engineMentions === oracleMentions)
+    assert(engineMentions.exists(_._2 == "revenue growth"),
+      "custom gazetteer entries must be detected")
+  }
+
   test("canonical nodes carry merge lineage and conserve mention counts") {
     val nodeRows = engine.nodes.select("entity_id", "mention_count", "merged_entity_ids")
       .collect()

@@ -108,8 +108,9 @@ class RetrievalSpec extends AnyFunSuite {
         v -> und.filter(_._2 == v)
           .map { case (u, _) => Ppr.Damping * score(u) / outdeg(u) }.sum
       }.toMap
-      val dangling = verts.filterNot(outdeg.contains).map(score).sum
-      val teleport = (1.0 - Ppr.Damping) + Ppr.Damping * dangling
+      // reference semantics (ppr_traversal.py:240-252): constant (1-d)
+      // teleport to seeds, dangling mass dropped (L1 re-norm restores mass)
+      val teleport = 1.0 - Ppr.Damping
       val raw = verts.map(v =>
         v -> (inflow(v) + (if (v == "acme") teleport else 0.0))).toMap
       val l1 = raw.values.map(math.abs).sum
@@ -207,6 +208,67 @@ class RetrievalSpec extends AnyFunSuite {
     val dc = ContextExpansion.documentContext(chunks, mentions).collect()
       .map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("n_chunks")).toMap
     assert(dc === Map("d1" -> 2L, "d2" -> 2L))
+  }
+
+  test("co-occurrence search composes into the ANY re-search") {
+    // bob co-occurs with acme (c1) and carol (c3) -> ANY search over
+    // {bob, acme, carol}: c1 matches 2/3, c2 2/3, c3 2/3, c4 0
+    val got = GraphSearch.searchByCooccurrence(spark, mentions, "bob",
+      minShared = 1).collect()
+      .map(r => r.getAs[String]("chunk_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet === Set("c1", "c2", "c3"))
+    got.values.foreach(s => assert(math.abs(s - 2.0 / 3) < 1e-12))
+    // unknown entity -> empty result, no failure
+    assert(GraphSearch.searchByCooccurrence(spark, mentions, "nobody")
+      .collect().isEmpty)
+  }
+
+  test("temporal search orchestration: auto-detect filter, annotate") {
+    import graft.retrieval.TemporalRetrieval
+    val chunks = Seq(
+      ("c1", "d1", 0, "Acme results for the year", Seq(1.0f, 0.0f), true, 2023, "Q1"),
+      ("c2", "d1", 1, "Acme guidance revised", Seq(0.9f, 0.1f), true, 2024, "Q2"),
+      ("c3", "d2", 0, "Zeta overview", Seq(0.95f, 0.05f), true, 2024, "Q1")
+    ).toDF("chunk_id", "doc_id", "chunk_index", "text", "embedding",
+      "is_current", "fiscal_year", "fiscal_quarter")
+    // "in 2024" -> POINT_IN_TIME(2024): c1 must be filtered out of BOTH legs
+    val r = TemporalRetrieval.searchWithTemporalContext(spark,
+      "What did Acme report in 2024?", Seq(1.0, 0.0), chunks, mentions,
+      topK = 5)
+    assert(r.filterApplied && r.context.hasTemporalReference)
+    val ids = r.results.collect().map(_.getString(0)).toSet
+    assert(ids === Set("c2", "c3"))
+    // no temporal reference -> no filter, c1 eligible again
+    val r2 = TemporalRetrieval.searchWithTemporalContext(spark,
+      "What did Acme report?", Seq(1.0, 0.0), chunks, mentions, topK = 5)
+    assert(!r2.filterApplied)
+    assert(r2.results.collect().map(_.getString(0)).toSet === Set("c1", "c2", "c3"))
+    // point-in-time wrapper annotates query time + type
+    val at = TemporalRetrieval.searchAtTime(spark, "Acme", Seq(1.0, 0.0),
+      chunks, mentions, java.time.LocalDate.parse("2024-05-15"), topK = 5)
+      .collect()
+    assert(at.nonEmpty)
+    assert(at.head.getAs[String]("temporal_query_type") === "point_in_time")
+    assert(at.head.getAs[String]("query_timestamp") === "2024-05-15")
+    // 2024-05-15 -> fiscal Q2 2024: only c2 qualifies
+    assert(at.map(_.getString(0)).toSeq === Seq("c2"))
+    val rng = TemporalRetrieval.searchTimeRange(spark, "Acme", Seq(1.0, 0.0),
+      chunks, mentions, java.time.LocalDate.parse("2023-01-01"),
+      java.time.LocalDate.parse("2024-12-31"), topK = 5).collect()
+    assert(rng.map(_.getString(0)).toSet === Set("c1", "c2", "c3"))
+    assert(rng.head.getAs[String]("temporal_query_type") === "time_range")
+  }
+
+  test("build_context_summary assembles the reference text layout") {
+    val s = ContextExpansion.buildContextSummary(Seq(
+      ("c2", "main text here", "Acme Q3 call",
+        Seq("acme", "bob", "carol", "dora", "eve", "frank"),
+        Some("previous chunk body"), None)))
+    assert(s.startsWith("[Result 1 from 'Acme Q3 call']\nmain text here\n"))
+    assert(s.contains("Key entities: acme, bob, carol, dora, eve")) // top-5
+    assert(!s.contains("frank"))
+    assert(s.contains("[Previous context]\nprevious chunk body..."))
+    assert(!s.contains("[Following context]"))
   }
 
   test("result evolution: new/disappeared/persistent id sets") {

@@ -59,9 +59,13 @@ class TemporalSpec extends AnyFunSuite {
       ts("2024-01-20 00:00:00"), ts("2024-02-10 00:00:00"))
       .collect().map(r => (r.getAs[String]("lineage_id"), r.getAs[Int]("version"))).toSet
     assert(m === Set(("a", 1), ("a", 2))) // v1 superseded + v2 created in range
-    val pruned = Temporal.pruneOldVersions(versioned, keep = 1)
-    assert(pruned.count() === 2)
-    assert(pruned.where(col("lineage_id") === "a").head().getAs[Int]("version") === 2)
+    // reference semantics (versioning.py:224-262): keep = number of
+    // SUPERSEDED predecessors retained, i.e. keep+1 rows per chain survive
+    val pruned0 = Temporal.pruneOldVersions(versioned, keep = 0)
+    assert(pruned0.count() === 2) // only the current heads
+    assert(pruned0.where(col("lineage_id") === "a").head().getAs[Int]("version") === 2)
+    val pruned1 = Temporal.pruneOldVersions(versioned, keep = 1)
+    assert(pruned1.count() === 3) // a keeps v2 + one superseded (v1)
   }
 
   test("temporal predicates translate filter semantics exactly") {
