@@ -19,7 +19,8 @@ import graft.link.Linker
   *
   * Usage:
   *   IngestJob --work DIR [--docs N] [--seed S] [--input PATH --meta-input PATH]
-  *             [--chunk-size N] [--overlap N] [--resume] [--buckets N]
+  *             [--chunk-size N] [--overlap N] [--strategy semantic|fixed]
+  *             [--resume] [--buckets N]
   *
   * Table layout (SURVEY §1.3 → Spark tables):
   *   chunks    partitioned by bucket(doc_id)  — span-preserving chunk rows
@@ -41,6 +42,7 @@ object IngestJob {
       metaInput: Option[String] = None,
       chunkSize: Int = 200,
       overlap: Int = 40,
+      strategy: String = "semantic",
       resume: Boolean = false,
       buckets: Int = 32)
 
@@ -56,6 +58,7 @@ object IngestJob {
         case "--meta-input" => a = a.copy(metaInput = Some(argv(i + 1))); i += 2
         case "--chunk-size" => a = a.copy(chunkSize = argv(i + 1).toInt); i += 2
         case "--overlap" => a = a.copy(overlap = argv(i + 1).toInt); i += 2
+        case "--strategy" => a = a.copy(strategy = argv(i + 1)); i += 2
         case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
         case other => sys.error(s"unknown arg $other")
@@ -86,7 +89,7 @@ object IngestJob {
   def run(spark: SparkSession, a: Args): TableIO = {
     import spark.implicits._
     val io = new TableIO(a.work)
-    val cfg = SpanChunker.Config(a.chunkSize, a.overlap)
+    val cfg = SpanChunker.Config(a.chunkSize, a.overlap, a.strategy)
 
     val chunksDf = stage(io, spark, "chunks", a.resume, Seq("bucket")) {
       val chunks = (a.input, a.metaInput) match {

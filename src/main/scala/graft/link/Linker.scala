@@ -156,6 +156,23 @@ object Linker {
       .drop("rn")
   }
 
+  /** Legacy single-pair fast path (entity_deduplication.py:116-167, the
+    * `use_llm_validation=false` branch): exact lowercase match → true;
+    * type mismatch → false; Jaro-Winkler >= 0.95 → true, < 0.5 → false;
+    * else cosine >= 0.85 AND JW >= 0.7. Pure function — usable driver-side
+    * or inside a filter expression.
+    */
+  def areEntitiesSimilar(name1: String, type1: String, name2: String,
+      type2: String): Boolean = {
+    if (name1.toLowerCase.trim == name2.toLowerCase.trim) return true
+    if (type1 != type2) return false
+    val strSim = JaroWinkler.similarity(name1, name2)
+    if (strSim >= 0.95) return true
+    if (strSim < 0.5) return false
+    val embSim = NameFeatures.cosine(name1, name2)
+    embSim >= Const.EmbThreshold && strSim >= Const.StrThreshold
+  }
+
   /** Stages 2+3: JW filter then the no-LLM accept rule. Output: validated
     * duplicate pairs (id1, id2, emb_sim, str_sim).
     */

@@ -66,4 +66,23 @@ class KernelSpec extends AnyFunSuite {
     val diff = NameFeatures.cosine("Nova Energy", "Nova Capital")
     assert(diff < 0.85, s"distinct orgs must stay below accept bar, got $diff")
   }
+
+  test("are_entities_similar legacy pairwise short-circuit order") {
+    import graft.link.Linker.areEntitiesSimilar
+    // exact lowercase match wins before the type check fires
+    assert(areEntitiesSimilar("ACME Corp ", "ORGANIZATION", "acme corp", "PRODUCT"))
+    // type mismatch rejects non-identical names
+    assert(!areEntitiesSimilar("Acme Corp", "ORGANIZATION", "Acme Corps", "PRODUCT"))
+    // JW >= 0.95 accepts without the embedding stage
+    assert(areEntitiesSimilar("Acme Corporation", "ORGANIZATION",
+      "Acme Corporatio", "ORGANIZATION"))
+    // JW < 0.5 rejects outright
+    assert(!areEntitiesSimilar("Acme", "ORGANIZATION", "Zenith Networks",
+      "ORGANIZATION"))
+    // ambiguous band: needs cosine >= 0.85 AND JW >= 0.7
+    assert(areEntitiesSimilar("Skyline Systems", "ORGANIZATION",
+      "Skyline Systems Inc", "ORGANIZATION"))
+    assert(!areEntitiesSimilar("Nova Energy", "ORGANIZATION", "Nova Capital",
+      "ORGANIZATION"))
+  }
 }
