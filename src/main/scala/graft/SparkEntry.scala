@@ -354,6 +354,21 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
         .select("doc_id", "media_ref", "kind", "byte_len", "width",
           "height", "n_frames")
+    }),
+    "q_media_resize" -> ((s, dir) => {
+      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
+      Multimodal.resize(
+        Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)),
+        maxDim = 128)(s)
+        .select("doc_id", "media_ref", "width", "height",
+          "out_width", "out_height")
+    }),
+    "q_media_frames" -> ((s, dir) => {
+      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
+      Multimodal.sampleFrames(
+        Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)),
+        every = 5, maxFrames = 12)
+        .select("doc_id", "media_ref", "kind", "n_frames", "n_sampled")
     }))
 
   /** Placeholder replaced by Verify with its absolute output dir: the kg_*
@@ -366,10 +381,9 @@ object SparkEntry {
     s"SELECT * FROM read_parquet('$VerifyOutPlaceholder/_oracle_$name/*.parquet')"
 
   /** DuckDB oracle SQL per query (same column names — the driver sorts
-    * columns by name before hashing). The kg_* pipeline tables are checked
-    * against the serial oracle's parquet dump (see VerifyOutPlaceholder).
-    * Remaining omitted keys (kg_ppr, media) are verified against the serial
-    * oracle in ScalaTest and get the driver's rows-only check.
+    * columns by name before hashing). The kg_* pipeline tables and
+    * q_media_features are checked against the serial oracle's parquet dump
+    * (see VerifyOutPlaceholder) — every query key is oracle-checked.
     */
   def oracleSql: Map[String, String] = Map(
     "kg_edges" -> oracleDumpSql("kg_edges"),
@@ -377,6 +391,20 @@ object SparkEntry {
     "kg_mentions" -> oracleDumpSql("kg_mentions"),
     "kg_chunks" -> oracleDumpSql("kg_chunks"),
     "kg_ppr" -> oracleDumpSql("kg_ppr"),
+    "q_media_features" -> oracleDumpSql("q_media_features"),
+    // resize/frame-sample derive arithmetically from the dumped features —
+    // DuckDB recomputes the contract instead of trusting the engine
+    "q_media_resize" ->
+      s"""SELECT doc_id, media_ref, width, height,
+         |  CAST(ceil(width * least(1.0, 128.0 / greatest(width, height)))
+         |    AS INTEGER) AS out_width,
+         |  CAST(ceil(height * least(1.0, 128.0 / greatest(width, height)))
+         |    AS INTEGER) AS out_height
+         |FROM read_parquet('$VerifyOutPlaceholder/_oracle_q_media_features/*.parquet')""".stripMargin,
+    "q_media_frames" ->
+      s"""SELECT doc_id, media_ref, kind, n_frames,
+         |  least(12, ((n_frames - 1) // 5) + 1) AS n_sampled
+         |FROM read_parquet('$VerifyOutPlaceholder/_oracle_q_media_features/*.parquet')""".stripMargin,
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

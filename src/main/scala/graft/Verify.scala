@@ -64,8 +64,8 @@ object Verify {
     import graft.oracle.SerialOracle
     import graft.synth.CorpusSynth
     val nDocs = SparkEntry.kgDocs(sfDir)
-    val o = SerialOracle.run(CorpusSynth.serial(nDocs.toInt, SparkEntry.KgSeed),
-      SparkEntry.KgCfg)
+    val corpus = CorpusSynth.serial(nDocs.toInt, SparkEntry.KgSeed)
+    val o = SerialOracle.run(corpus, SparkEntry.KgCfg)
     def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_oracle_$name")
     dump("kg_edges") {
@@ -94,6 +94,26 @@ object Verify {
         .toDF("chunk_id", "doc_id", "chunk_index", "token_count", "n_spans")
     }
     dump("kg_ppr")(serialPpr(spark, o, Seq("Skyline Systems"), topK = 20))
+    // independent recomputation of the stub-decode contract (Multimodal
+    // .decodeStub derives everything from SHA-256(media_ref); payload bytes
+    // repeat the 32-byte digest, so indices 0..11 read the digest directly)
+    dump("q_media_features") {
+      corpus.flatMap { case (d, _) =>
+        d.spans.filter(_.kind != "text").map { s =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s.media_ref.getBytes("UTF-8"))
+          def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+          val frames = s.kind match {
+            case "audio" => 1 + b(3) % 300
+            case "video" => 1 + b(3) % 120
+            case _       => 1
+          }
+          (d.doc_id, s.media_ref, s.kind, 64 + b(0) % 193,
+            64 + b(1) % 192, 64 + b(2) % 192, frames)
+        }
+      }.toDF("doc_id", "media_ref", "kind", "byte_len", "width", "height",
+        "n_frames")
+    }
   }
 
   /** Serial PPR chunk scoring over the oracle's graph — seeds / induced

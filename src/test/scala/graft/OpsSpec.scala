@@ -143,4 +143,34 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd === Set((0L, 1L)))
   }
+
+  test("multimodal decode contract: engine features == independent sha256 recompute") {
+    import graft.ops.Multimodal
+    val corpus = graft.synth.CorpusSynth.serial(40, seed = 7L)
+    val engineDocs = spark.createDataset(corpus.map(_._1))
+    val got = Multimodal
+      .extractFeatures(spark, Multimodal.mediaTable(spark, engineDocs))
+      .collect()
+      .map(f => (f.doc_id, f.media_ref) ->
+        (f.kind, f.byte_len, f.width, f.height, f.n_frames))
+      .toMap
+    // independent recompute of the stub contract (payload repeats the
+    // 32-byte SHA-256 digest, so indices 0..3 read the digest directly)
+    val expected = corpus.flatMap { case (d, _) =>
+      d.spans.filter(_.kind != "text").map { s =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.media_ref.getBytes("UTF-8"))
+        def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+        val frames = s.kind match {
+          case "audio" => 1 + b(3) % 300
+          case "video" => 1 + b(3) % 120
+          case _       => 1
+        }
+        (d.doc_id, s.media_ref) ->
+          (s.kind, 64 + b(0) % 193, 64 + b(1) % 192, 64 + b(2) % 192, frames)
+      }
+    }.toMap
+    assert(expected.nonEmpty, "synth corpus produced no media spans")
+    assert(got === expected)
+  }
 }
