@@ -187,14 +187,47 @@ object Ppr {
       .limit(topK)
   }
 
-  /** End-to-end PPR search (ppr_traversal.py:85-140). */
+  /** End-to-end PPR search (ppr_traversal.py:85-140).
+    *
+    * When the whole edge table fits under `localEdgeCap` (the common case:
+    * the reference itself pulls the graph out of Neo4j and runs seeds /
+    * reach / power iteration client-side, ppr_traversal.py:199-335), it is
+    * collected ONCE and everything up to chunk scoring runs as driver-side
+    * folds — one scan of nodes, one of edges, instead of ~15 distinct
+    * join/distinct plan shapes whose planning+codegen dominates wall time
+    * on small graphs. Chunk scoring stays distributed (mentions scale with
+    * the corpus; the depth-bounded subgraph does not). Larger edge tables
+    * take the original distributed path with identical math.
+    */
   def search(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       mentions: DataFrame, queryEntities: Seq[String],
-      topK: Int = 10): DataFrame = {
-    val s = seeds(nodes, queryEntities).persist()
-    val sub = inducedSubgraph(edges, s).persist()
-    val ppr = scores(spark, sub, s)
-    val out = scoreChunks(mentions, ppr, topK = topK)
-    out
+      topK: Int = 10, localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+    import spark.implicits._
+    if (edges.count() * 2 <= localEdgeCap) {
+      val seedNames = seeds(nodes, queryEntities).collect()
+        .map(_.getString(0).toLowerCase).toSet
+      // mirror GraphSearch.undirected + inducedSubgraph exactly: both
+      // directions, raw src != dst, then lowercase
+      val undL = edges.select(col("subj"), col("obj")).collect()
+        .iterator.flatMap { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          Seq((a, b), (b, a))
+        }
+        .filter(e => e._1 != e._2)
+        .map(e => (e._1.toLowerCase, e._2.toLowerCase))
+        .toVector
+      var reach = seedNames
+      for (_ <- 1 to 2)
+        reach = reach ++ undL.iterator.filter(e => reach(e._1)).map(_._2)
+      val sub = undL.filter(e => reach(e._1) && reach(e._2)).distinct.sorted
+      val ppr = serialScores(sub, seedNames).toSeq
+        .sortBy { case (e, s) => (-s, e) }.toDF("entity", "ppr")
+      scoreChunks(mentions, ppr, topK = topK)
+    } else {
+      val s = seeds(nodes, queryEntities).persist()
+      val sub = inducedSubgraph(edges, s).persist()
+      val ppr = scores(spark, sub, s)
+      scoreChunks(mentions, ppr, topK = topK)
+    }
   }
 }

@@ -132,6 +132,19 @@ class RetrievalSpec extends AnyFunSuite {
       got("carol") > got("zeta"))
   }
 
+  test("PPR search: driver-local fast path == forced-distributed path") {
+    val nodes = Seq(("e1", "acme", "ORGANIZATION"), ("e2", "bob", "PERSON"),
+      ("e3", "carol", "PERSON"), ("e4", "zeta", "ORGANIZATION"))
+      .toDF("entity_id", "name", "entity_type")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val local = rows(Ppr.search(spark, nodes, edges, mentions, Seq("acme")))
+    val dist = rows(Ppr.search(spark, nodes, edges, mentions, Seq("acme"),
+      localEdgeCap = 0L))
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
   test("PPR chunk scoring weights mentions by entity mass") {
     val ppr = Seq(("acme", 0.5), ("bob", 0.3), ("carol", 0.15), ("zeta", 0.05))
       .toDF("entity", "ppr")
