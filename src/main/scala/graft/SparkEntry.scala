@@ -225,7 +225,7 @@ object SparkEntry {
       val b = all.select(col("label").as("l2"), col("vec_id").as("id2"),
         col("emb").as("e2"))
       a.join(b, col("label") === col("l2") && col("id1") < col("id2"))
-        .withColumn("cosine", round(Similarity.cosineUdfD(col("e1"), col("e2")), 4))
+        .withColumn("cosine", round(Similarity.cosineKernel(col("e1"), col("e2")), 4))
         .where(col("cosine") >= 0.999)
         .select("id1", "id2", "cosine")
     }),

@@ -274,7 +274,7 @@ object Dedup {
       col("emb").as("e2"))
     l.join(r, col("bucket") === col("bk2") && col("id1") < col("id2"))
       // compiled pair kernel — interpreted HOF cosine is ~10x slower here
-      .withColumn("cosine", round(Similarity.cosineUdfD(col("e1"), col("e2")), 6))
+      .withColumn("cosine", round(Similarity.cosineKernel(col("e1"), col("e2")), 6))
       .where(col("cosine") >= lit(threshold))
       .select("id1", "id2", "cosine")
   }

@@ -12,57 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns (double accumulation). */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  def normCol(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-
   /** Cosine similarity; zero-norm → 0 (matches the reference
-    * _cosine_similarity, entity_deduplication.py:558-571).
+    * _cosine_similarity, entity_deduplication.py:558-571). Delegates to the
+    * native codegen expression — identical per-index widening and
+    * accumulation order as the dotCol/normCol column algebra, so results
+    * are bit-for-bit equal, at plain-loop speed.
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    val denom = normCol(a) * normCol(b)
-    when(denom === 0.0, 0.0).otherwise(dotCol(a, b) / denom)
-  }
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   /** Compiled cosine kernel for PAIR-JOIN paths: higher-order-function
-    * columns are interpreted per row (no codegen), which at millions of
-    * candidate pairs is ~10x slower than this plain loop. Same math and
-    * accumulation order as cosineCol, zero-norm → 0.
+    * columns are interpreted per row (no codegen), ~10x slower than a plain
+    * loop at millions of candidate pairs, and a Scala UDF pays Seq boxing
+    * per call on top — this is the native codegen expression
+    * (graft.functions.CosineSim) reading unsafe array data directly. Same
+    * math and accumulation order as cosineCol, zero-norm → 0.
     */
-  val cosineUdfD = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val len = math.min(a.length, b.length)
-    while (i < len) {
-      val x = a(i); val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
-  }
+  def cosineKernel(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
-  /** Deterministic pseudo-random hyperplane component for sign-LSH:
-    * plane p, dimension i → a value in [-1, 1) derived from xxhash64.
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection
+    * onto a deterministic pseudo-random plane (native codegen expression,
+    * graft.functions.SignLsh).
     */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(concat_ws(":", p.cast("string"), i.cast("string"))),
-      lit(1000003L)).cast("double") / lit(500001.5)) - lit(1.0)
-
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of the projection. */
   def signLshBucket(embedding: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (v, i) => v.cast("double") * planeComponent(lit(p), i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.SignLsh.signLsh(embedding, planes)
 
   /** Exact brute-force cosine top-k neighbors of one query vector.
     * The scan is a narrow projection; the only shuffle is the final
