@@ -63,6 +63,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("cosine/sign-lsh expressions: float==double widening, sign invariance") {
+    import graft.functions.{CosineSim, SignLsh}
+    val vecs = Seq(
+      (0L, Seq(1.0f, 2.0f, -3.0f), Seq(1.0, 2.0, -3.0)),
+      (1L, Seq(0.5f, -0.25f, 4.0f), Seq(0.5, -0.25, 4.0)),
+      (2L, Seq(0.0f, 0.0f, 0.0f), Seq(0.0, 0.0, 0.0))
+    ).toDF("vec_id", "f", "d")
+    val r = vecs.select(
+      CosineSim.cosineSim(col("f"), col("d")).as("self"),
+      CosineSim.cosineSim(col("f"),
+        transform(col("d"), x => x * 3.5)).as("scaled"),
+      SignLsh.signLsh(col("f"), 8).as("bf"),
+      SignLsh.signLsh(col("d"), 8).as("bd"),
+      SignLsh.signLsh(transform(col("d"), x => x * 2.0), 8).as("bscaled"))
+      .collect()
+    r.take(2).foreach { row =>
+      // float and double forms of the same vector: cosine 1, same bucket
+      assert(math.abs(row.getAs[Double]("self") - 1.0) < 1e-12)
+      assert(math.abs(row.getAs[Double]("scaled") - 1.0) < 1e-12)
+      assert(row.getAs[Long]("bf") === row.getAs[Long]("bd"))
+      // positive scaling preserves every sign bit — the LSH recall contract
+      assert(row.getAs[Long]("bd") === row.getAs[Long]("bscaled"))
+    }
+    // zero vector: cosine 0 (reference _cosine_similarity zero-norm rule)
+    assert(r(2).getAs[Double]("self") === 0.0)
+  }
+
   test("LSH-then-verify dedup equals exact ground truth on this corpus") {
     val want = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5,
       maxShingleDf = 100000L)
