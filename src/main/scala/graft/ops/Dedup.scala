@@ -50,12 +50,17 @@ object Dedup {
     * interpreted row-by-row and was ~30x slower.
     */
   private def shingleArr(n: Int) = udf { (text: String) =>
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length >= n)
-      Iterator.range(0, toks.length - n + 1)
-        .map(i => toks.slice(i, i + n).mkString(" "))
-        .toSet.toArray
-    else Array.empty[String]
+    // Scala UDFs receive raw nulls for AnyRef args — a null-text document
+    // must not kill the whole dedup job
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= n)
+        Iterator.range(0, toks.length - n + 1)
+          .map(i => toks.slice(i, i + n).mkString(" "))
+          .toSet.toArray
+      else Array.empty[String]
+    }
   }
 
   /** Inverted shingle index rows (doc_id, sh_size, shingle). doc_id keeps

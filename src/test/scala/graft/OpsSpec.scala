@@ -171,6 +171,19 @@ class OpsSpec extends AnyFunSuite {
     assert(nd === Set((0L, 1L)))
   }
 
+  test("dedup ops survive null-text documents") {
+    val withNull = docs.union(
+      Seq((99L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang"))
+    // null text must neither throw nor pair with anything
+    val j = Dedup.ngramJaccard(withNull, n = 3, threshold = 0.5).collect()
+    assert(!j.exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L))
+    val m = Dedup.minhashLshExact(withNull, n = 3, threshold = 0.5).collect()
+    assert(!m.exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L))
+    val s = Dedup.simhashExact(withNull, maxHamming = 3, n = 3,
+      threshold = 0.9).collect()
+    assert(!s.exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L))
+  }
+
   test("multimodal decode contract: engine features == independent sha256 recompute") {
     import graft.ops.Multimodal
     val corpus = graft.synth.CorpusSynth.serial(40, seed = 7L)
