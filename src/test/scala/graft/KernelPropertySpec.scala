@@ -103,4 +103,38 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }, n = 12)
   }
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.choose(1, 96).flatMap(n =>
+      Gen.containerOfN[Array, Double](n, Gen.choose(-100.0, 100.0)))
+
+  test("cosine kernel: range, symmetry, self-similarity, scale invariance") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      graft.functions.CosineSim.compute(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b),
+        aFloat = false, bFloat = false)
+    check(Prop.forAllNoShrink(vecGen, vecGen, Gen.choose(0.1, 50.0)) { (a, b, s) =>
+      val n = math.min(a.length, b.length)
+      val (a2, b2) = (a.take(n), b.take(n))
+      val c = cos(a2, b2)
+      val selfOk = a2.forall(_ == 0.0) || math.abs(cos(a2, a2) - 1.0) < 1e-9
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 &&
+        math.abs(cos(b2, a2) - c) < 1e-12 && selfOk &&
+        math.abs(cos(a2.map(_ * s), b2) - c) < 1e-9
+    })
+  }
+
+  test("sign-lsh kernel: positive scaling never moves a vector's bucket") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    check(Prop.forAllNoShrink(vecGen, Gen.choose(0.001, 1000.0),
+      Gen.choose(1, 64)) { (a, s, planes) =>
+      def bucket(v: Array[Double]) = graft.functions.SignLsh.compute(
+        ArrayData.toArrayData(v), planes, aFloat = false)
+      bucket(a) == bucket(a.map(_ * s)) &&
+        // (1L << p) overflows to MIN_VALUE at p=63, so range-check only
+        // buckets that fit a non-negative long
+        (planes >= 63 || (bucket(a) >= 0 && bucket(a) < (1L << planes)))
+    })
+  }
 }
