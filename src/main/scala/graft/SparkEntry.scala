@@ -261,6 +261,25 @@ object SparkEntry {
       Similarity.lshTopK(all, q, k = 10, planes = 8, roundTo = 4,
         excludeId = Some(0L))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF-flat cell-probed ANN, same seeded-true-neighbor contract as
+      // q_ann_lsh (12 positively-scaled copies of vec 0 share its cosine
+      // profile, so cell probing must recover them); oracle = exact
+      // brute-force top-k — green row proves IVF recall 1.0
+      val base = s.read.parquet(embPath(dir))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(1), lit(12))).as("i"), col("embedding"))
+        .select((col("i") + 300000).cast("long").as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0) + col("i").cast("double") * 0.01)).as("embedding"))
+      val all = base.union(pert)
+      val q = base.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Double](0)
+      Similarity.ivfTopK(all, q, k = 10, numCentroids = 16, nProbe = 4,
+        roundTo = 4, excludeId = Some(0L))
+    }),
     // ---- text analysis ----------------------------------------------------
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(docsPath(dir)))),
@@ -536,6 +555,22 @@ object SparkEntry {
         |  FROM embeddings),
         |pert AS (
         |  SELECT CAST(200000 + i AS BIGINT) AS vec_id,
+        |    list_transform(emb, x -> x * (1.0 + i * 0.01)) AS emb
+        |  FROM base, range(1, 13) t(i) WHERE vec_id = 0),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |q AS (SELECT emb AS qe FROM base WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        |  round(CAST(list_cosine_similarity(a.emb, q.qe) AS DOUBLE), 4) AS score
+        |FROM a, q WHERE a.vec_id <> 0
+        |ORDER BY score DESC, a.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_ann_ivf" -> // exact top-k over the IVF-seeded corpus: green row ==
+      // IVF cell-probe recall 1.0 on the true neighbors
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT CAST(300000 + i AS BIGINT) AS vec_id,
         |    list_transform(emb, x -> x * (1.0 + i * 0.01)) AS emb
         |  FROM base, range(1, 13) t(i) WHERE vec_id = 0),
         |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert),

@@ -54,7 +54,7 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style bucketed ANN: probe only vectors whose sign-LSH bucket
+  /** Sign-LSH bucketed ANN: probe only vectors whose sign-LSH bucket
     * matches the query's bucket (plus optional 1-bit-flip probes for
     * recall), then exact cosine within the probed set. At 100 TB the
     * embeddings table is stored partitioned by bucket, so probing is
@@ -75,6 +75,67 @@ object Similarity {
     else array(qBucket)
     withBucket
       .where(array_contains(probeSet, col("bucket")))
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding"), q), roundTo).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-flat ANN: a deterministic coarse quantizer — centroids are the
+    * `numCentroids` corpus vectors with the smallest xxhash64(vec_id), a
+    * uniform deterministic sample — assigns every vector to its
+    * highest-cosine centroid (its CELL); a query probes only its `nProbe`
+    * nearest cells, then scores exact cosine inside them.
+    *
+    * Scale posture: at 100 TB the embeddings table is written partitioned
+    * by cell id, so probing nProbe of numCentroids cells is partition
+    * pruning — the scan touches nProbe/numCentroids of the data. Assignment
+    * is one narrow codegen'd projection (numCentroids CosineSim kernels per
+    * row); the centroid sample is a bounded driver collect (numCentroids ×
+    * dim doubles).
+    *
+    * Recall contract: cosine is scale-invariant, so positively-scaled
+    * copies of the query share its cosine profile against every centroid —
+    * near-ties in the argmax can only move a copy to a cell whose centroid
+    * is ~equally close to the query, which the nProbe probe set covers.
+    * The q_ann_ivf oracle (exact brute-force top-k over a corpus seeded
+    * with true neighbors) checks exactly this.
+    */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4, roundTo: Int = 6,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    // deterministic centroid sample (vec_id tiebreak for stability)
+    val centroids: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+      .orderBy(xxhash64(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(numCentroids)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    def cosLocal(a: Seq[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val probeCells: Seq[Int] = centroids.zipWithIndex
+      .map { case (c, i) => (cosLocal(query, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2 + 1) // 1-based, matching array_position below
+    val cellCosines = array(centroids.map(c =>
+      cosineCol(col("embedding"), typedLit(c.toSeq))): _*)
+    val q = typedLit(query)
+    val base = excludeId.map(id => embeddings.where(col("vec_id") =!= id))
+      .getOrElse(embeddings)
+    base
+      .withColumn("cell",
+        array_position(cellCosines, array_max(cellCosines)).cast("int"))
+      .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"),
         round(cosineCol(col("embedding"), q), roundTo).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)

@@ -171,6 +171,20 @@ class OpsSpec extends AnyFunSuite {
     assert(nd === Set((0L, 1L)))
   }
 
+  test("IVF ANN returns the same top-k as brute force on clustered data") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.1f, 0.0f) else Seq(0.0f, 0.1f, 1.0f)
+      (i.toLong, base.map(v => v + (i % 7) * 0.03f))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.1, 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val brute = ids(Similarity.bruteForceTopK(vecs, q, k = 5, roundTo = 4))
+    val ivf = ids(Similarity.ivfTopK(vecs, q, k = 5, numCentroids = 8,
+      nProbe = 4, roundTo = 4))
+    assert(ivf === brute)
+  }
+
   test("dedup ops survive null-text documents") {
     val withNull = docs.union(
       Seq((99L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang"))
