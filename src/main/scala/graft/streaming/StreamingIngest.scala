@@ -102,6 +102,25 @@ object StreamingIngest {
         GroupStateTimeout.NoTimeout)(fold _)
   }
 
+  /** Streaming exact dedup: keep the FIRST occurrence of each content hash
+    * within the watermark horizon — the streaming face of Dedup.exact.
+    * `dropDuplicatesWithinWatermark` is the only state-bounded way to dedup
+    * an unbounded stream: plain dropDuplicates would grow its state table
+    * forever, while here rows older than `lateness` are evicted, so state
+    * is O(distinct hashes per horizon) regardless of stream length.
+    */
+  def dedupStream(spark: SparkSession, docs: Dataset[DocEvent],
+      lateness: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    docs.map(d => (d.doc_id,
+        d.spans.filter(_.kind == "text").map(_.text).mkString(" "),
+        d.event_ts))
+      .toDF("doc_id", "text", "event_ts")
+      .withColumn("content_md5", md5(col("text").cast("binary")))
+      .withWatermark("event_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_md5")
+  }
+
   /** Wire a memory-sink query for tests/demos: mention windows to an
     * in-memory table named `tableName`.
     */

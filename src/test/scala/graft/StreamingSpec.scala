@@ -70,4 +70,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest.getAs[Timestamp]("last_seen") === ts("2024-01-01 10:05:00"))
     } finally q.stop()
   }
+
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val deduped = StreamingIngest.dedupStream(spark, input.toDS(),
+      lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        doc("d1", "identical text", "2024-01-01 10:00:00"),
+        doc("d2", "identical text", "2024-01-01 10:01:00"), // dup, same batch
+        doc("d3", "different text", "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      input.addData( // dup across batches, inside the watermark horizon
+        doc("d4", "identical text", "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id").collect()
+        .map(_.getString(0)).toSet
+      assert(ids === Set("d1", "d3"))
+    } finally q.stop()
+  }
 }
