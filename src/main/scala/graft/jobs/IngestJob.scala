@@ -19,8 +19,8 @@ import graft.link.Linker
   *
   * Usage:
   *   IngestJob --work DIR [--docs N] [--seed S] [--input PATH --meta-input PATH]
-  *             [--chunk-size N] [--overlap N] [--strategy semantic|fixed]
-  *             [--resume] [--buckets N]
+  *             [--gazetteer PATH] [--chunk-size N] [--overlap N]
+  *             [--strategy semantic|fixed] [--resume] [--buckets N]
   *
   * Table layout (SURVEY §1.3 → Spark tables):
   *   chunks    partitioned by bucket(doc_id)  — span-preserving chunk rows
@@ -40,6 +40,7 @@ object IngestJob {
       seed: Long = 42L,
       input: Option[String] = None,
       metaInput: Option[String] = None,
+      gazetteer: Option[String] = None,
       chunkSize: Int = 200,
       overlap: Int = 40,
       strategy: String = "semantic",
@@ -56,6 +57,7 @@ object IngestJob {
         case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
         case "--input" => a = a.copy(input = Some(argv(i + 1))); i += 2
         case "--meta-input" => a = a.copy(metaInput = Some(argv(i + 1))); i += 2
+        case "--gazetteer" => a = a.copy(gazetteer = Some(argv(i + 1))); i += 2
         case "--chunk-size" => a = a.copy(chunkSize = argv(i + 1).toInt); i += 2
         case "--overlap" => a = a.copy(overlap = argv(i + 1).toInt); i += 2
         case "--strategy" => a = a.copy(strategy = argv(i + 1)); i += 2
@@ -104,8 +106,16 @@ object IngestJob {
     }
     val chunks = chunksDf.drop("bucket").as[ChunkRow]
 
+    // gazetteer is DATA: a user-supplied (surface, tpe) parquet table
+    // broadcasts into the pooled per-executor trie (SURVEY §2.3)
+    val gaz = a.gazetteer match {
+      case Some(path) => spark.read.parquet(path)
+        .select(col("surface"), col("tpe"))
+        .as[graft.fixtures.Fixtures.GazEntry].collect().toSeq
+      case None => graft.fixtures.Fixtures.gazetteer
+    }
     val mentions = stage(io, spark, "mentions", a.resume, Seq("bucket")) {
-      withBucket(GazetteerNer.detect(spark, chunks).toDF(), a.buckets)
+      withBucket(GazetteerNer.detect(spark, chunks, gaz).toDF(), a.buckets)
     }.drop("bucket")
 
     val triples = stage(io, spark, "triples", a.resume, Seq.empty) {
