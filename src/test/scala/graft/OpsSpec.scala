@@ -185,6 +185,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("native expressions are callable from spark.sql after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fn_docs")
+    val r = spark.sql(
+      """SELECT simhash64(text) AS sh,
+        |  cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS cs,
+        |  sign_lsh(array(1.0d, 2.0d, 3.0d), 8) AS bucket
+        |FROM fn_docs WHERE doc_id = 0""".stripMargin).head()
+    assert(r.getAs[Long]("sh") ===
+      SimHash64.compute("the quick brown fox jumps over the lazy dog"))
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("bucket") === graft.functions.SignLsh.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1.0, 2.0, 3.0)), 8, aFloat = false))
+  }
+
   test("dedup ops survive null-text documents") {
     val withNull = docs.union(
       Seq((99L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang"))
