@@ -34,10 +34,10 @@ object Pipeline {
       nodes: DataFrame,
       edges: DataFrame,
       mentionsFinal: DataFrame) {
-    /** Release every cached intermediate (chunks/mentions/triples/entities). */
+    /** Release every cached intermediate. */
     def unpersistAll(): Unit = {
       chunks.unpersist(); mentions.unpersist(); triples.unpersist()
-      entities.unpersist()
+      entities.unpersist(); dupPairs.unpersist()
     }
   }
 
@@ -64,7 +64,12 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val entities = Linker.entities(mentions)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: ConnectedComponents consumes the pair graph at least twice
+    // (path-choice count + collect-or-iterate) — without the cache each
+    // action re-runs the whole salted linking self-join (measured: the
+    // single biggest serial-fraction item in the scaling bench)
     val dupPairs = Linker.verdicts(Linker.candidates(entities))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val components = ConnectedComponents.run(spark,
       dupPairs.select(col("id1"), col("id2")))
     val nodes = Canonicalize.nodes(entities, components)

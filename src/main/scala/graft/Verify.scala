@@ -94,22 +94,32 @@ object Verify {
         .toDF("chunk_id", "doc_id", "chunk_index", "token_count", "n_spans")
     }
     dump("kg_ppr")(serialPpr(spark, o, Seq("Skyline Systems"), topK = 20))
-    // independent recomputation of the stub-decode contract (Multimodal
-    // .decodeStub derives everything from SHA-256(media_ref); payload bytes
-    // repeat the 32-byte digest, so indices 0..11 read the digest directly)
+    // independent recomputation of the decode contract from SHA-256
+    // (media_ref) alone. Images are REAL PPM files parsed by the engine's
+    // pure-JVM decoder, so the oracle re-derives the header arithmetic
+    // (byte_len = ASCII header + w*h*3 pixels) without running the parser;
+    // audio/table keep the documented stub contract (payload repeats the
+    // 32-byte digest, so indices 0..3 read the digest directly).
     dump("q_media_features") {
       corpus.flatMap { case (d, _) =>
         d.spans.filter(_.kind != "text").map { s =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
             .digest(s.media_ref.getBytes("UTF-8"))
           def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
-          val frames = s.kind match {
-            case "audio" => 1 + b(3) % 300
-            case "video" => 1 + b(3) % 120
-            case _       => 1
+          if (s.kind == "image") {
+            val w = 8 + b(1) % 56
+            val h = 8 + b(2) % 56
+            val byteLen = s"P6\n$w $h\n255\n".length + w * h * 3
+            (d.doc_id, s.media_ref, s.kind, byteLen, w, h, 1)
+          } else {
+            val frames = s.kind match {
+              case "audio" => 1 + b(3) % 300
+              case "video" => 1 + b(3) % 120
+              case _       => 1
+            }
+            (d.doc_id, s.media_ref, s.kind, 64 + b(0) % 193,
+              64 + b(1) % 192, 64 + b(2) % 192, frames)
           }
-          (d.doc_id, s.media_ref, s.kind, 64 + b(0) % 193,
-            64 + b(1) % 192, 64 + b(2) % 192, frames)
         }
       }.toDF("doc_id", "media_ref", "kind", "byte_len", "width", "height",
         "n_frames")
@@ -144,7 +154,10 @@ object Verify {
       .groupBy(_.chunk_id)
       .map { case (cid, ms) =>
         val s = ms.map(m => top(m.entity_name.toLowerCase) * m.confidence).sum
-        (cid, math.rint(s * 1e6) / 1e6)
+        // HALF_UP, mirroring Spark's round(col, 6) exactly (math.rint is
+        // half-even and would diverge on a .5e-6 boundary)
+        (cid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
       }
       .toSeq.sortBy { case (c, s) => (-s, c) }.take(topK)
       .toDF("chunk_id", "score")

@@ -2,7 +2,6 @@ package graft.canon
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative DataFrame connected components over the validated duplicate-
   * pair graph — the distributed replacement for the reference's in-memory
@@ -77,21 +76,29 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 30,
       localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     import spark.implicits._
-    val bi0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
-    val nEdges = bi0.count()
-    if (nEdges <= localEdgeCap) {
+    // path choice on the RAW pair count (2x is an upper bound on the
+    // bidirectional-distinct edge count): building the distinct'd
+    // bidirectional table just to decide the path cost a full extra
+    // shuffle+job, all serial-fraction in the scaling bench
+    val nPairs = edges.count()
+    if (nPairs * 2 <= localEdgeCap) {
       val pairs = edges.select(col("id1"), col("id2")).collect()
         .map(r => (r.getString(0), r.getString(1)))
       return unionFindLocal(pairs).toDF("id", "component")
     }
+    val bi0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    val nEdges = bi0.count()
     // size the iteration's partitioning by the data, not the session: tiny
     // graphs otherwise pay hundreds of empty tasks per round
     val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 50000L).toInt + 1))
-    val bi = bi0.repartition(parts, col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): also truncates the edge table's
+    // lineage — the caller's plan can embed the whole upstream construct
+    // DAG, which every round's actions would otherwise re-stringify into
+    // the SQL-execution event (minutes of driver CPU at scale-0 caps)
+    val bi = bi0.repartition(parts, col("dst")).localCheckpoint(true)
 
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

@@ -18,8 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   /** sign_lsh's planes argument must be a foldable integer literal. */
   private def planesOf(e: Expression): Int = {
@@ -33,20 +33,21 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("simhash64"),
-        info("simhash64", "simhash64(text) - 64-bit Charikar simhash of the text"),
+        info(classOf[SimHash64], "simhash64",
+          "simhash64(text) - 64-bit Charikar simhash of the text"),
         (args: Seq[Expression]) => {
           require(args.length == 1, "simhash64(text) takes one argument")
           SimHash64(args.head)
         }),
       (FunctionIdentifier("cosine_sim"),
-        info("cosine_sim",
+        info(classOf[CosineSim], "cosine_sim",
           "cosine_sim(a, b) - cosine similarity of two array<double|float>"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "cosine_sim(a, b) takes two arguments")
           CosineSim(args(0), args(1))
         }),
       (FunctionIdentifier("sign_lsh"),
-        info("sign_lsh",
+        info(classOf[SignLsh], "sign_lsh",
           "sign_lsh(embedding, planes) - sign-LSH bucket id (one bit per plane)"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "sign_lsh(embedding, planes) takes two arguments")

@@ -41,7 +41,13 @@ object GazetteerNer {
     }
     def add(surface: String, tpe: String): Unit = {
       var n = root
-      surface.toLowerCase.foreach { c => n = n.next.getOrElseUpdate(c, new TrieNode) }
+      // fold per-char with the SAME function the probe uses (Character
+      // .toLowerCase, locale-insensitive): String.toLowerCase is locale-
+      // sensitive (Turkish 'I' → 'ı') and can change length, which would
+      // desynchronize build-time keys from probe-time folding
+      surface.foreach { c =>
+        n = n.next.getOrElseUpdate(Character.toLowerCase(c), new TrieNode)
+      }
       n.hit = Some((surface, tpe))
     }
     /** Longest word-boundary match starting at position i, if any. The

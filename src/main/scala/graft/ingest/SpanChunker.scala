@@ -37,12 +37,14 @@ object SpanChunker {
       s"unknown chunking strategy '$strategy' (semantic|fixed)")
   }
 
-  /** estimate_chunks (chunker.py:300-331): ceil(total / (size - overlap));
-    * overlap >= size is rejected by Config.
+  /** estimate_chunks (chunker.py:312-331): max(1, ceil(total / (size −
+    * overlap))) — the reference returns 1 even for empty text; overlap >=
+    * size is rejected by Config (the reference raises ValueError).
     */
-  def estimateChunks(totalTokens: Int, cfg: Config): Int =
-    if (totalTokens <= 0) 0
-    else math.ceil(totalTokens.toDouble / (cfg.chunkSize - cfg.overlap)).toInt
+  def estimateChunks(totalTokens: Int, cfg: Config): Int = {
+    val step = cfg.chunkSize - cfg.overlap
+    math.max(1, (math.max(totalTokens, 0) + step - 1) / step)
+  }
 
   /** Strategy dispatch (chunker.py:57-90). */
   def chunkDoc(doc: DocRow, meta: DocMeta, cfg: Config): Vector[ChunkRow] =

@@ -119,7 +119,9 @@ object IngestJob {
     }.drop("bucket")
 
     val triples = stage(io, spark, "triples", a.resume, Seq.empty) {
-      RelationPatterns.dedup(RelationPatterns.extract(spark, chunks))
+      // same user-supplied gazetteer as the mentions stage — relation
+      // extraction scans sentences with the identical entity matcher
+      RelationPatterns.dedup(RelationPatterns.extract(spark, chunks, gaz))
     }
 
     val entities = stage(io, spark, "entities", a.resume, Seq("entity_type")) {

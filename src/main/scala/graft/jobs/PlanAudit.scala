@@ -27,7 +27,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val skipPipeline = Set("kg_edges", "kg_nodes", "kg_mentions", "kg_chunks",
-      "kg_ppr", "q_media_features") // eager pipeline builds — audited via probe
+      "kg_ppr", "kg_nodes_dist", "kg_ppr_dist",
+      "q_media_features") // eager pipeline builds — audited via probe
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skipPipeline(name)) {
         try {

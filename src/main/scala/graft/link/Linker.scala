@@ -1,7 +1,6 @@
 package graft.link
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Schema._
@@ -104,9 +103,13 @@ object Linker {
         concat_ws("|", col("entity_type"), substring(col("simp"), 1, 4)),
         concat_ws("|", col("entity_type"), substring(col("simp"), -4, 4))
       ))).as("bkey"))
+    // the count table is one row per DISTINCT blocking key — bounded by
+    // 3x the entity count, tiny next to the corpus — so broadcasting it
+    // keeps the keyed table on a narrow path (a shuffle join here cost a
+    // full extra exchange of the keyed rows, pure serial fraction)
     val bucketCounts = keyedAll.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bcount"))
-    val keyed = keyedAll.join(bucketCounts, Seq("bkey"))
+    val keyed = keyedAll.join(broadcast(bucketCounts), Seq("bkey"))
       .where(col("bcount") <= lit(maxBucketSize))
       .drop("bcount")
     // the join sides ship ONLY (key, id, name): the ~0.5 KB sparse feature
@@ -148,12 +151,25 @@ object Linker {
       .where(col("emb_sim") >= lit(blockSlack))
       .select(col("id1"), col("name1"), col("id2"), col("name2"),
         col("entity_type"), col("emb_sim"))
-      .distinct()
-    val w = Window.partitionBy(col("id1"))
-      .orderBy(col("emb_sim").desc, col("id2").asc)
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= Const.MaxCandidatesPerEntity)
-      .drop("rn")
+    // dedup + per-entity top-10 in ONE shuffle on id1 (was distinct() then
+    // a row_number window — two full wide exchanges of the pair stream):
+    // collect_set removes the multi-blocking-key duplicates (the same pair
+    // reached via 2-3 keys is bit-identical — dotUdf is deterministic);
+    // array_sort on struct(-emb_sim, id2) realizes the reference ranking
+    // (sim desc, partner id asc); slice caps at MaxCandidatesPerEntity.
+    // Bounded state: an entity sits in <= 3 buckets of <= maxBucketSize, so
+    // a set holds at most 3*maxBucketSize survivors — and only survivors of
+    // the >= 0.68 screen at that.
+    pairs
+      .groupBy(col("id1"), col("name1"), col("entity_type"))
+      .agg(collect_set(struct((-col("emb_sim")).as("neg"),
+        col("id2").as("id2"), col("name2").as("name2"))).as("cands"))
+      .select(col("id1"), col("name1"), col("entity_type"),
+        explode(slice(array_sort(col("cands")), 1,
+          Const.MaxCandidatesPerEntity)).as("c"))
+      .select(col("id1"), col("name1"), col("c.id2").as("id2"),
+        col("c.name2").as("name2"), col("entity_type"),
+        (-col("c.neg")).as("emb_sim"))
   }
 
   /** Legacy single-pair fast path (entity_deduplication.py:116-167, the

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline, over a
@@ -13,10 +12,17 @@ import org.apache.spark.sql.functions._
   *     from an inverted shingle index (Jaccard), LSH band buckets (MinHash),
   *     or Hamming band buckets (SimHash) — the standard sub-quadratic
   *     blocking constructions;
+  *   - every pair generator is frequency-capped: ultra-hot shingles are
+  *     dropped (negligible evidence, quadratic pairs), and over-cap band
+  *     buckets collapse to a star around the bucket's min doc (transitive
+  *     duplicate clusters survive; the k² clique never materializes);
   *   - every pair generator emits (id1 < id2) so downstream joins/groupBys
   *     shuffle once on the pair key;
   *   - all hashing is xxhash64/crc32/md5 column functions — codegen'd,
-  *     deterministic, no UDFs.
+  *     deterministic, no UDFs;
+  *   - the shingle set is computed ONCE per corpus (`withShingles`) and
+  *     shared by Jaccard candidate gen, MinHash signatures and exact
+  *     verification — one scan of the text column, not one per variant.
   */
 object Dedup {
 
@@ -63,15 +69,22 @@ object Dedup {
     }
   }
 
-  /** Inverted shingle index rows (doc_id, sh_size, shingle). doc_id keeps
-    * its ORIGINAL type (long testdata ids and string sha2 ids both work);
-    * the shingle array is computed once per row by the compiled kernel,
-    * then exploded.
+  /** (doc_id, sh): each doc's distinct n-gram shingle set, computed once by
+    * the compiled kernel. doc_id keeps its ORIGINAL type (long testdata ids
+    * and string sha2 ids both work). Callers that run several dedup
+    * variants over one corpus should persist this and pass it to the
+    * `*Sh` entry points — one text scan serves them all.
     */
-  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+  def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), shingleArr(n)(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("sh_size"),
-        explode(col("sh")).as("shingle"))
+
+  /** Inverted shingle index rows (doc_id, sh_size, shingle). */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    shingleRowsSh(withShingles(docs, n))
+
+  def shingleRowsSh(docsSh: DataFrame): DataFrame =
+    docsSh.select(col("doc_id"), size(col("sh")).as("sh_size"),
+      explode(col("sh")).as("shingle"))
 
   /** N-gram Jaccard near-dup: inverted-index self-join on shingles →
     * per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
@@ -87,8 +100,12 @@ object Dedup {
     * rather than an inner join against the (huge) cold set.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.6,
+      maxShingleDf: Long = 1000L): DataFrame =
+    ngramJaccardSh(withShingles(docs, n), threshold, maxShingleDf)
+
+  def ngramJaccardSh(docsSh: DataFrame, threshold: Double = 0.6,
       maxShingleDf: Long = 1000L): DataFrame = {
-    val inv = shingleRows(docs, n)
+    val inv = shingleRowsSh(docsSh)
       .select(col("doc_id"), col("sh_size"), xxhash64(col("shingle")).as("h"))
     val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > lit(maxShingleDf))
@@ -123,19 +140,34 @@ object Dedup {
     * pairs; estimated Jaccard = fraction of equal signature positions;
     * keep pairs >= threshold. bands must divide numHashes.
     *
-    * The signature is computed via explode + a 64-way min hash-aggregate
+    * The signature is computed via explode + an N-way min hash-aggregate
     * rather than nested `transform` lambdas: higher-order-function
     * expressions are interpreted (no whole-stage codegen), which made the
     * nested form ~50x slower; the explode/agg form is fully codegen'd with
     * map-side partial mins, and its one shuffle carries only
-    * (doc_id, 64 longs) per doc.
+    * (doc_id, numHashes longs) per doc.
+    *
+    * Hot-bucket cap (the boilerplate-corpus scale guard): a band bucket
+    * holding k near-identical docs would emit k²/2 clique pairs; buckets
+    * with > maxBucketSize members instead emit a STAR around the bucket's
+    * min doc_id (k−1 pairs). Transitive duplicate clusters are preserved —
+    * downstream clustering reconnects the clique through the hub — while
+    * candidate volume stays linear in bucket size. Cold buckets are
+    * untouched, so at the df observed on the test corpus the output is
+    * bit-identical to the uncapped run.
     */
   def minhashLsh(docs: DataFrame, n: Int = 4, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Long = 5000L): DataFrame =
+    minhashLshSh(withShingles(docs, n), numHashes, bands, threshold,
+      maxBucketSize)
+
+  def minhashLshSh(docsSh: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Long = 5000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inv = shingleRows(docs, n)
-      .select(col("doc_id"), col("shingle").as("s"))
+    val inv = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sig = inv.groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
@@ -149,16 +181,32 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"),
+    // hot buckets: tiny by construction (≤ |banded| / maxBucketSize rows)
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .where(col("bc") > lit(maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val cold = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val l = cold.select(col("band"), col("bucket"),
       col("doc_id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+    val r = cold.select(col("band").as("band2"), col("bucket").as("bucket2"),
       col("doc_id").as("id2"), col("sig").as("sig2"))
-    val pairs = l.join(r,
+    val cliquePairs = l.join(r,
         col("band") === col("band2") && col("bucket") === col("bucket2") &&
           col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    // star pairs for over-cap buckets: hub = min doc_id (so hub < member
+    // always holds in the id ordering and the (id1 < id2) invariant stands)
+    val hotRows = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+    val hubs = hotRows.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("hub_id"),
+        min_by(col("sig"), col("doc_id")).as("hub_sig"))
+    val starPairs = hotRows.join(broadcast(hubs), Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("hub_id"))
+      .select(col("hub_id").as("id1"), col("doc_id").as("id2"),
+        col("hub_sig").as("sig1"), col("sig").as("sig2"))
+    cliquePairs.union(starPairs)
       .dropDuplicates("id1", "id2")
-    pairs
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig1"), col("sig2"),
           (a, b) => a === b), x => x)).cast("double") / lit(numHashes), 6))
@@ -174,12 +222,16 @@ object Dedup {
     * which an oracle can recompute without knowing the hashing.
     */
   def verifyJaccard(docs: DataFrame, cands: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    verifyJaccardSh(withShingles(docs, n), cands, threshold)
+
+  def verifyJaccardSh(docsSh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
     // shingles hashed to 64-bit longs: the per-pair intersect then compares
     // longs instead of UTF8 strings (same trick as the ngramJaccard inverted
     // index, which is DuckDB-verified collision-free on this corpus)
-    val sets = docs.select(col("doc_id"),
-      transform(shingleArr(n)(col("text")), s => xxhash64(s)).as("sh"))
+    val sets = docsSh.select(col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh"))
     // size screen before shipping arrays: J(A,B) <= min/max sizes, so a
     // pair whose sizes are farther apart than the threshold ratio cannot
     // qualify — only ids travel through this filter
@@ -202,26 +254,61 @@ object Dedup {
 
   /** MinHash LSH candidates + exact-Jaccard verify: emits the pairs whose
     * TRUE Jaccard >= threshold among band-bucket candidates. Equals the
-    * exact all-pairs result whenever banding recall is 1 at the threshold
-    * (16 bands x 4 rows: miss probability (1-J^4)^16 < 1e-6 at J=0.875) —
-    * which the DuckDB oracle checks row-for-row.
+    * exact all-pairs result whenever banding recall is ~1 at the threshold;
+    * with the default 32 bands x 2 rows the per-pair miss probability at
+    * J = 0.7 is (1 − 0.7²)³² ≈ 4e-10 — provable recall at the gate
+    * threshold (the previous 16x4 banding had a ~1.2% per-pair miss there,
+    * making the DuckDB equality contract corpus-dependent). The looser
+    * 2-row bands admit more moderate-J candidates; the size screen + exact
+    * verify absorb them at cost linear in |candidates|.
     */
   def minhashLshExact(docs: DataFrame, n: Int = 4, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashLsh(docs, n, numHashes, bands, threshold = 0.0)
-    verifyJaccard(docs, cands, n, threshold)
+      bands: Int = 32, threshold: Double = 0.5): DataFrame =
+    minhashLshExactSh(withShingles(docs, n), numHashes, bands, threshold)
+
+  def minhashLshExactSh(docsSh: DataFrame, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5,
+      maxBucketSize: Long = 5000L): DataFrame = {
+    val cands = minhashLshSh(docsSh, numHashes, bands, threshold = 0.0,
+      maxBucketSize)
+    verifyJaccardSh(docsSh, cands, threshold)
   }
 
   /** SimHash band candidates + exact-Jaccard verify (same contract as
     * minhashLshExact, different candidate generator). 8 bands x 8 bits
-    * guarantees any pair within Hamming distance 7 shares a band — measured
-    * on the synthetic corpus, token swaps put near-identical docs
-    * (Jaccard >= 0.95) at Hamming 0-5, so <=7 has full recall there.
+    * guarantees any pair within Hamming distance 7 shares a band; the
+    * Hamming ↔ Jaccard correspondence, however, is NOT provable (simhash
+    * approximates cosine of token-frequency vectors, and a J = 0.92 pair
+    * beyond Hamming 7 was observed on the sf0.001 corpus).
     */
   def simhashExact(docs: DataFrame, maxHamming: Int = 7, n: Int = 4,
       threshold: Double = 0.9): DataFrame =
-    verifyJaccard(docs, simhashNearDup(docs, maxHamming, bands = 8), n,
+    simhashExactSh(docs, withShingles(docs, n), maxHamming, threshold)
+
+  def simhashExactSh(docs: DataFrame, docsSh: DataFrame, maxHamming: Int = 7,
+      threshold: Double = 0.9): DataFrame =
+    verifyJaccardSh(docsSh, simhashNearDup(docs, maxHamming, bands = 8),
       threshold)
+
+  /** SimHash candidates with a PROVABLE recall floor: the band-guaranteed
+    * Hamming <= bands-1 simhash pairs, unioned with MinHash 32x2 band
+    * candidates whose miss probability at J >= 0.9 is (1 − 0.81)³² ≈ 1e-23.
+    * SimHash alone cannot promise Jaccard-threshold recall (see
+    * simhashExact); the union keeps simhash's cheap structural candidates
+    * AND makes the exact-equality oracle contract sound at any corpus —
+    * both generators are sub-quadratic, and the exact verify stage prices
+    * precision at |candidates|. Pass a persisted `minhashCands` (threshold
+    * 0 output of minhashLshSh) to share the signature pass across queries.
+    */
+  def simhashExactFloored(docs: DataFrame, docsSh: DataFrame,
+      minhashCands: DataFrame, maxHamming: Int = 7,
+      threshold: Double = 0.9): DataFrame = {
+    val cands = simhashNearDup(docs, maxHamming, bands = 8)
+      .select(col("id1"), col("id2"))
+      .union(minhashCands.select(col("id1"), col("id2")))
+      .dropDuplicates("id1", "id2")
+    verifyJaccardSh(docsSh, cands, threshold)
+  }
 
   /** SimHash near-dup: fingerprint via the native SimHash64 Catalyst
     * expression (whole-stage codegen'd, graft.functions.SimHash64), then
@@ -231,9 +318,13 @@ object Dedup {
     * bit_count(xor) <= maxHamming. More bands = wider Hamming recall but
     * smaller keys → more candidates per bucket; 4x16 suits exact-ish dups,
     * 8x8 suits token-level edits.
+    *
+    * Over-cap band buckets emit a star around the bucket's min doc_id
+    * instead of the k² clique (see minhashLsh) — the Hamming screen still
+    * applies to every emitted star pair.
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucketSize: Long = 5000L): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
@@ -246,21 +337,35 @@ object Dedup {
           shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"),
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bc"))
+      .where(col("bc") > lit(maxBucketSize))
+      .select(col("band"), col("key"))
+    val cold = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val l = cold.select(col("band"), col("key"), col("doc_id").as("id1"),
       col("sim").as("sim1"))
-    val r = banded.select(col("band").as("b2"), col("key").as("k2"),
+    val r = cold.select(col("band").as("b2"), col("key").as("k2"),
       col("doc_id").as("id2"), col("sim").as("sim2"))
     // the Hamming test rides INSIDE the join condition: templated corpora
-    // cluster simhash values, so hot band-buckets generate k^2 candidate
+    // cluster simhash values, so band-buckets generate many candidate
     // pairs — evaluated at hash-join probe time they cost only compute,
     // while filtering after the join would shuffle every candidate through
     // the dropDuplicates exchange (measured ~4x on the synthetic corpus)
-    l.join(r, col("band") === col("b2") && col("key") === col("k2") &&
-        col("id1") < col("id2") &&
+    val cliquePairs = l.join(r, col("band") === col("b2") &&
+        col("key") === col("k2") && col("id1") < col("id2") &&
         bit_count(col("sim1").bitwiseXOR(col("sim2"))) <= lit(maxHamming))
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
-      .dropDuplicates("id1", "id2")
+    val hotRows = banded.join(broadcast(hot), Seq("band", "key"), "left_semi")
+    val hubs = hotRows.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("hub_id"),
+        min_by(col("sim"), col("doc_id")).as("hub_sim"))
+    val starPairs = hotRows.join(broadcast(hubs), Seq("band", "key"))
+      .where(col("doc_id") =!= col("hub_id") &&
+        bit_count(col("hub_sim").bitwiseXOR(col("sim"))) <= lit(maxHamming))
+      .select(col("hub_id").as("id1"), col("doc_id").as("id2"),
+        bit_count(col("hub_sim").bitwiseXOR(col("sim"))).as("hamming"))
+    cliquePairs.union(starPairs).dropDuplicates("id1", "id2")
   }
 
   /** Embedding-cosine near-dup over (vec_id, embedding array<float>):

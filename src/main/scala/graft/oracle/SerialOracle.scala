@@ -71,12 +71,15 @@ object SerialOracle {
   def scan(text: String): Vector[M] = scan(text, Fixtures.gazetteer)
 
   def scan(text: String, gaz: Seq[Fixtures.GazEntry]): Vector[M] = {
-    val lower = text.toLowerCase
+    // per-char locale-insensitive fold, matching GazetteerNer's trie
+    // (Character.toLowerCase on both sides — String.toLowerCase is locale-
+    // sensitive and can change string length)
+    val lower = text.map(Character.toLowerCase)
     def bOk(i: Int) = i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))
     def eOk(i: Int) = i >= lower.length || !Character.isLetterOrDigit(lower.charAt(i))
     val cands = mutable.ArrayBuffer.empty[M]
     gaz.foreach { g =>
-      val s = g.surface.toLowerCase
+      val s = g.surface.map(Character.toLowerCase)
       var from = 0
       var i = lower.indexOf(s, from)
       while (i >= 0) {

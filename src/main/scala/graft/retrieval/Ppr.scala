@@ -120,16 +120,23 @@ object Ppr {
         .orderBy(col("ppr").desc, col("entity").asc)
     }
 
-    val vertices = subgraph.select(col("src").as("entity"))
-      .union(subgraph.select(col("dst").as("entity")))
-      .union(seedSet.select(col("entity")))
-      .distinct().persist()
-    val outdeg = subgraph.groupBy(col("src").as("entity"))
-      .agg(count(lit(1)).as("outdeg")).persist()
+    // truncate the loop-invariant inputs' lineage BEFORE iterating: the
+    // caller's subgraph/seed plans can embed the entire upstream construct
+    // DAG, and every iteration's actions would re-stringify that tree into
+    // the SQL-execution event (measured: minutes of driver CPU in
+    // generateTreeString at 20 iterations — the jobs themselves are tiny)
+    val sub = subgraph.select(col("src"), col("dst")).localCheckpoint(true)
+    val seedsCk = seedSet.localCheckpoint(true)
+    val vertices = sub.select(col("src").as("entity"))
+      .union(sub.select(col("dst").as("entity")))
+      .union(seedsCk.select(col("entity")))
+      .distinct().localCheckpoint(true)
+    val outdeg = sub.groupBy(col("src").as("entity"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
 
     val seedShare = 1.0 / nSeeds
     var cur = vertices
-      .join(seedSet.withColumn("is_seed", lit(true)), Seq("entity"), "left")
+      .join(seedsCk.withColumn("is_seed", lit(true)), Seq("entity"), "left")
       .select(col("entity"),
         when(col("is_seed"), lit(seedShare)).otherwise(lit(0.0)).as("score"))
       .persist()
@@ -139,8 +146,8 @@ object Ppr {
     while (it < MaxIter && delta >= Tol) {
       val flowing = cur.join(outdeg, Seq("entity"), "inner")
         .select(col("entity"), (col("score") / col("outdeg")).as("share"))
-      val propagated = subgraph
-        .join(flowing, subgraph("src") === flowing("entity"))
+      val propagated = sub
+        .join(flowing, sub("src") === flowing("entity"))
         .groupBy(col("dst").as("entity"))
         .agg(sum(col("share") * lit(Damping)).as("inflow"))
       // constant (1-d) teleport to the seeds only; dangling mass is dropped
@@ -150,7 +157,7 @@ object Ppr {
       val teleport = 1.0 - Damping
       val next0 = vertices
         .join(propagated, Seq("entity"), "left")
-        .join(seedSet.withColumn("is_seed", lit(true)), Seq("entity"), "left")
+        .join(seedsCk.withColumn("is_seed", lit(true)), Seq("entity"), "left")
         .select(col("entity"),
           (coalesce(col("inflow"), lit(0.0)) +
             when(col("is_seed"), lit(teleport * seedShare))
@@ -226,7 +233,7 @@ object Ppr {
     } else {
       val s = seeds(nodes, queryEntities).persist()
       val sub = inducedSubgraph(edges, s).persist()
-      val ppr = scores(spark, sub, s)
+      val ppr = scores(spark, sub, s, localEdgeCap)
       scoreChunks(mentions, ppr, topK = topK)
     }
   }

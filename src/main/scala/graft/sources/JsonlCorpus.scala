@@ -68,6 +68,59 @@ object JsonlCorpus {
     (derived, corrupt)
   }
 
+  /** Deterministic ECT-QA-shaped JSONL fixture (synthesized from the same
+    * seed-driven corpus generator — no external data): nDocs good records
+    * plus a malformed line every 97 records, exercising the PERMISSIVE
+    * corrupt-record split exactly like the reference's per-line try/except
+    * (ectqa_loader.py:88-119). Content is a pure function of (nDocs, seed),
+    * so the Spark query and the driver's DuckDB `read_json` oracle read
+    * byte-identical files; the path is content-versioned so a generator
+    * change can never silently reuse a stale file.
+    */
+  def fixturePath(nDocs: Int, seed: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ectqa_v1_${nDocs}_$seed.jsonl"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def writeFixture(nDocs: Int, seed: Long): String = {
+    val path = fixturePath(nDocs, seed)
+    val f = new java.io.File(path)
+    if (!f.exists()) {
+      val tmp = new java.io.File(
+        path + ".tmp." + ProcessHandle.current().pid())
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try {
+        graft.synth.CorpusSynth.serial(nDocs, seed).zipWithIndex.foreach {
+          case ((d, m), i) =>
+            if (i % 97 == 13) w.println(s"CORRUPT LINE $i :: not json {")
+            val transcript =
+              d.spans.filter(_.kind == "text").map(_.text).mkString(" ")
+            w.println(
+              s"""{"company_name":${jsonStr(m.company_name)},""" +
+                s""""stock_code":${jsonStr(m.stock_code)},""" +
+                s""""sector":${jsonStr(m.sector)},""" +
+                s""""year":${m.year},"quarter":${jsonStr(m.quarter)},""" +
+                s""""transcript":${jsonStr(transcript)},""" +
+                s""""url":${jsonStr(m.url)}}""")
+        }
+      } finally w.close()
+      // rename is atomic on the same filesystem; a concurrent writer
+      // produced identical bytes, so either winner is correct
+      if (!tmp.renameTo(f) && !f.exists())
+        sys.error(s"could not materialize JSONL fixture at $path")
+    }
+    path
+  }
+
   /** Dataset stats (ectqa_loader.py:244-305): counts by sector / year /
     * quarter, distinct companies, token sum — one pass, grouping sets.
     */

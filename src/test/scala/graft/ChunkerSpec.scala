@@ -108,9 +108,10 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
-  test("estimateChunks: ceil(total / (size - overlap)); bad overlap rejected") {
+  test("estimateChunks: max(1, ceil(total / (size - overlap))); bad overlap rejected") {
     val c = SpanChunker.Config(50, 10)
-    assert(SpanChunker.estimateChunks(0, c) === 0)
+    // reference chunker.py:312-331 returns max(1, ...) — 1 even for empty
+    assert(SpanChunker.estimateChunks(0, c) === 1)
     assert(SpanChunker.estimateChunks(40, c) === 1)
     assert(SpanChunker.estimateChunks(41, c) === 2)
     assert(SpanChunker.estimateChunks(400, c) === 10)

@@ -201,6 +201,30 @@ class OpsSpec extends AnyFunSuite {
         Array(1.0, 2.0, 3.0)), 8, aFloat = false))
   }
 
+  test("hot band-buckets collapse to a bounded star, not a k-squared clique") {
+    // 2000 identical docs land in ONE bucket of every band: uncapped that
+    // is ~2M clique candidates per band; the cap must emit exactly the
+    // k-1 star pairs around the bucket's min doc_id, preserving the
+    // transitive duplicate cluster
+    val k = 2000
+    val dupes = (0 until k).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", "en"))
+    val uniq = (0 until 5).map(i =>
+      ((10000 + i).toLong,
+        s"unique text number $i about topic-$i widgets sprockets gears", "en"))
+    val skewed = (dupes ++ uniq).toDF("doc_id", "text", "lang")
+    val mh = Dedup.minhashLsh(skewed, n = 3, numHashes = 64, bands = 16,
+      threshold = 0.5, maxBucketSize = 100).collect()
+    assert(mh.length === k - 1, s"expected ${k - 1} star pairs, got ${mh.length}")
+    assert(mh.forall(_.getAs[Long]("id1") === 0L))
+    assert(mh.forall(_.getAs[Double]("est_jaccard") === 1.0))
+    val sh = Dedup.simhashNearDup(skewed, maxHamming = 3, bands = 4,
+      maxBucketSize = 100).collect()
+    assert(sh.length === k - 1)
+    assert(sh.forall(r => r.getAs[Long]("id1") === 0L &&
+      r.getAs[Int]("hamming") === 0))
+  }
+
   test("dedup ops survive null-text documents") {
     val withNull = docs.union(
       Seq((99L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang"))
@@ -224,23 +248,55 @@ class OpsSpec extends AnyFunSuite {
       .map(f => (f.doc_id, f.media_ref) ->
         (f.kind, f.byte_len, f.width, f.height, f.n_frames))
       .toMap
-    // independent recompute of the stub contract (payload repeats the
-    // 32-byte SHA-256 digest, so indices 0..3 read the digest directly)
+    // independent recompute: images are real PPM (header arithmetic from
+    // the sha digest), audio/table keep the stub contract (payload repeats
+    // the 32-byte SHA-256 digest, so indices 0..3 read the digest directly)
     val expected = corpus.flatMap { case (d, _) =>
       d.spans.filter(_.kind != "text").map { s =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.media_ref.getBytes("UTF-8"))
         def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
-        val frames = s.kind match {
-          case "audio" => 1 + b(3) % 300
-          case "video" => 1 + b(3) % 120
-          case _       => 1
-        }
-        (d.doc_id, s.media_ref) ->
-          (s.kind, 64 + b(0) % 193, 64 + b(1) % 192, 64 + b(2) % 192, frames)
+        val v: (String, Int, Int, Int, Int) =
+          if (s.kind == "image") {
+            val w = 8 + b(1) % 56
+            val h = 8 + b(2) % 56
+            (s.kind, s"P6\n$w $h\n255\n".length + w * h * 3, w, h, 1)
+          } else {
+            val frames = s.kind match {
+              case "audio" => 1 + b(3) % 300
+              case "video" => 1 + b(3) % 120
+              case _       => 1
+            }
+            (s.kind, 64 + b(0) % 193, 64 + b(1) % 192, 64 + b(2) % 192, frames)
+          }
+        (d.doc_id, s.media_ref) -> v
       }
     }.toMap
     assert(expected.nonEmpty, "synth corpus produced no media spans")
     assert(got === expected)
+  }
+
+  test("PPM decoder: real header parse, comments, bad-length rejection") {
+    import graft.ops.Multimodal
+    // hand-built 2x2 P6 with a header comment; pixels 0..11
+    val px = Array.tabulate[Byte](12)(_.toByte)
+    val good = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val (w, h, f, feat) = Multimodal.parsePpm(good)
+    assert((w, h, f) === (2, 2, 1))
+    assert(feat.length === 8)
+    // feature bins are means of the actual pixel bytes (ascending here)
+    assert(feat.head < feat.last)
+    // truncated pixel array must be rejected, not silently misread
+    assertThrows[IllegalArgumentException](
+      Multimodal.parsePpm(good.dropRight(1)))
+    assertThrows[IllegalArgumentException](
+      Multimodal.parsePpm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ px))
+    // synthesized image payloads round-trip through the real parser
+    val payload = Multimodal.fakePayload("image", "media://doc_x/0")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("media://doc_x/0".getBytes("UTF-8"))
+    def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+    val (pw, ph, _, _) = Multimodal.parsePpm(payload)
+    assert((pw, ph) === (8 + b(1) % 56, 8 + b(2) % 56))
   }
 }
