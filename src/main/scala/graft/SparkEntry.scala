@@ -456,7 +456,9 @@ object SparkEntry {
         FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
         WHERE round(cosine_sim(x.emb, y.emb), 4) >= 0.999""")
     }),
-    // ---- multimodal plumbing (decode is a documented stub) ----------------
+    // ---- multimodal: real pure-JVM decoders for all four kinds ------------
+    // (PPM image / RIFF-WAVE audio / YUV4MPEG2 video / CSV table; the
+    // oracle dump re-derives each format's header arithmetic independently)
     "q_media_features" -> ((s, dir) => {
       val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
       Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
@@ -465,8 +467,9 @@ object SparkEntry {
     }),
     "q_media_resize" -> ((s, dir) => {
       val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
-      // maxDim 48 straddles the real image dims (PPM 8..63) and scales all
-      // stub audio/table dims (64..255) — both resize branches exercised
+      // maxDim 48 straddles the real decoded dims (PPM images 8..63, y4m
+      // video 16..62, audio width sr/100 = 80..159, CSV tables 3..40) —
+      // both resize branches (scale and pass-through) exercised
       Multimodal.resize(
         Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)),
         maxDim = 48)(s)

@@ -95,31 +95,43 @@ object Verify {
     }
     dump("kg_ppr")(serialPpr(spark, o, Seq("Skyline Systems"), topK = 20))
     // independent recomputation of the decode contract from SHA-256
-    // (media_ref) alone. Images are REAL PPM files parsed by the engine's
-    // pure-JVM decoder, so the oracle re-derives the header arithmetic
-    // (byte_len = ASCII header + w*h*3 pixels) without running the parser;
-    // audio/table keep the documented stub contract (payload repeats the
-    // 32-byte digest, so indices 0..3 read the digest directly).
+    // (media_ref) alone. Every kind is a REAL format parsed by the engine's
+    // pure-JVM decoders (PPM / RIFF-WAVE / YUV4MPEG2 / CSV), so the oracle
+    // re-derives each format's header/size arithmetic WITHOUT running the
+    // parsers or payload builders: byte_len is the format spec's layout
+    // (ASCII header + pixel planes; 44-byte canonical WAV header + PCM16
+    // frames; y4m stream header + FRAME-marked 4:2:0 planes; fixed-width
+    // %03d CSV cells), and (width, height, n_frames) is the documented
+    // per-kind metadata mapping.
     dump("q_media_features") {
       corpus.flatMap { case (d, _) =>
         d.spans.filter(_.kind != "text").map { s =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
             .digest(s.media_ref.getBytes("UTF-8"))
           def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
-          if (s.kind == "image") {
-            val w = 8 + b(1) % 56
-            val h = 8 + b(2) % 56
-            val byteLen = s"P6\n$w $h\n255\n".length + w * h * 3
-            (d.doc_id, s.media_ref, s.kind, byteLen, w, h, 1)
-          } else {
-            val frames = s.kind match {
-              case "audio" => 1 + b(3) % 300
-              case "video" => 1 + b(3) % 120
-              case _       => 1
-            }
-            (d.doc_id, s.media_ref, s.kind, 64 + b(0) % 193,
-              64 + b(1) % 192, 64 + b(2) % 192, frames)
+          val v = s.kind match {
+            case "image" =>
+              val w = 8 + b(1) % 56
+              val h = 8 + b(2) % 56
+              (s"P6\n$w $h\n255\n".length + w * h * 3, w, h, 1)
+            case "audio" =>
+              val channels = 1 + b(1) % 2
+              val sampleRate = 8000 + 100 * (b(2) % 80)
+              val nSamples = 100 * (1 + b(3) % 300)
+              (44 + nSamples * channels * 2, sampleRate / 100, channels,
+                nSamples / 100)
+            case "video" =>
+              val w = 16 + 2 * (b(1) % 24)
+              val h = 16 + 2 * (b(2) % 24)
+              val frames = 1 + b(3) % 12
+              (s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".length +
+                frames * (6 + w * h * 3 / 2), w, h, frames)
+            case _ => // table: headerless CSV, every row is cols*4 bytes
+              val cols = 3 + b(1) % 6
+              val rows = 5 + b(2) % 36
+              (rows * cols * 4, cols, rows, 1)
           }
+          (d.doc_id, s.media_ref, s.kind, v._1, v._2, v._3, v._4)
         }
       }.toDF("doc_id", "media_ref", "kind", "byte_len", "width", "height",
         "n_frames")

@@ -129,5 +129,5 @@ object Fixtures {
   val sectors: Vector[String] = Vector(
     "Technology", "Energy", "Healthcare", "Industrials", "Financials")
 
-  val mediaKinds: Vector[String] = Vector("image", "audio", "table")
+  val mediaKinds: Vector[String] = Vector("image", "audio", "video", "table")
 }

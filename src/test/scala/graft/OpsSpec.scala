@@ -248,31 +248,42 @@ class OpsSpec extends AnyFunSuite {
       .map(f => (f.doc_id, f.media_ref) ->
         (f.kind, f.byte_len, f.width, f.height, f.n_frames))
       .toMap
-    // independent recompute: images are real PPM (header arithmetic from
-    // the sha digest), audio/table keep the stub contract (payload repeats
-    // the 32-byte SHA-256 digest, so indices 0..3 read the digest directly)
+    // independent recompute: every kind is a real format, so the expected
+    // values are each format spec's header/size arithmetic re-derived from
+    // the sha digest — never by calling fakePayload or the parsers
     val expected = corpus.flatMap { case (d, _) =>
       d.spans.filter(_.kind != "text").map { s =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.media_ref.getBytes("UTF-8"))
         def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
-        val v: (String, Int, Int, Int, Int) =
-          if (s.kind == "image") {
+        val v: (String, Int, Int, Int, Int) = s.kind match {
+          case "image" =>
             val w = 8 + b(1) % 56
             val h = 8 + b(2) % 56
             (s.kind, s"P6\n$w $h\n255\n".length + w * h * 3, w, h, 1)
-          } else {
-            val frames = s.kind match {
-              case "audio" => 1 + b(3) % 300
-              case "video" => 1 + b(3) % 120
-              case _       => 1
-            }
-            (s.kind, 64 + b(0) % 193, 64 + b(1) % 192, 64 + b(2) % 192, frames)
-          }
+          case "audio" =>
+            val ch = 1 + b(1) % 2
+            val nSamples = 100 * (1 + b(3) % 300)
+            (s.kind, 44 + nSamples * ch * 2, (8000 + 100 * (b(2) % 80)) / 100,
+              ch, nSamples / 100)
+          case "video" =>
+            val w = 16 + 2 * (b(1) % 24)
+            val h = 16 + 2 * (b(2) % 24)
+            val fr = 1 + b(3) % 12
+            (s.kind, s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".length +
+              fr * (6 + w * h * 3 / 2), w, h, fr)
+          case _ =>
+            val cols = 3 + b(1) % 6
+            val rows = 5 + b(2) % 36
+            (s.kind, rows * cols * 4, cols, rows, 1)
+        }
         (d.doc_id, s.media_ref) -> v
       }
     }.toMap
     assert(expected.nonEmpty, "synth corpus produced no media spans")
+    // all four kinds must actually occur, or the contract is under-tested
+    assert(Set("image", "audio", "video", "table")
+      .subsetOf(expected.values.map(_._1).toSet))
     assert(got === expected)
   }
 
@@ -298,5 +309,87 @@ class OpsSpec extends AnyFunSuite {
     def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
     val (pw, ph, _, _) = Multimodal.parsePpm(payload)
     assert((pw, ph) === (8 + b(1) % 56, 8 + b(2) % 56))
+  }
+
+  test("WAV decoder: RIFF chunk walk, PCM validation, corrupt rejection") {
+    import graft.ops.Multimodal
+    val payload = Multimodal.fakePayload("audio", "media://doc_w/0")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("media://doc_w/0".getBytes("UTF-8"))
+    def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+    val (srDiv, ch, frames, feat) = Multimodal.parseWav(payload)
+    assert(srDiv === (8000 + 100 * (b(2) % 80)) / 100)
+    assert(ch === 1 + b(1) % 2)
+    assert(frames === 1 + b(3) % 300)
+    assert(feat.length === 8 && feat.forall(f => f >= -1.0f && f <= 1.0f))
+    // dispatch sniffs the RIFF magic
+    assert(Multimodal.decode("audio", payload)._2 === ch)
+    // a chunk the walker must skip (even-padded odd-size LIST before data)
+    val lst = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val withList = payload.take(36) ++ lst ++ payload.drop(36)
+    val fixed = withList.clone()
+    val newRiff = withList.length - 8
+    Array(0, 8, 16, 24).zipWithIndex.foreach { case (sh, i) =>
+      fixed(4 + i) = ((newRiff >> sh) & 0xff).toByte }
+    assert(Multimodal.parseWav(fixed)._3 === frames)
+    // corrupt: truncated data chunk, bad magic, RIFF size mismatch
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseWav(payload.dropRight(1)))
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseWav("JUNK".getBytes ++ payload.drop(4)))
+    val badSize = payload.clone(); badSize(4) = (badSize(4) ^ 1).toByte
+    assertThrows[IllegalArgumentException](Multimodal.parseWav(badSize))
+  }
+
+  test("Y4M decoder: stream header, FRAME walk, 4:2:0 size validation") {
+    import graft.ops.Multimodal
+    val payload = Multimodal.fakePayload("video", "media://doc_v/3")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("media://doc_v/3".getBytes("UTF-8"))
+    def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+    val (w, h, frames, feat) = Multimodal.parseY4m(payload)
+    assert((w, h) === (16 + 2 * (b(1) % 24), 16 + 2 * (b(2) % 24)))
+    assert(frames === 1 + b(3) % 12)
+    assert(feat.length === 8 && feat.forall(f => f >= -1.0f && f <= 1.0f))
+    assert(Multimodal.decode("video", payload)._3 === frames)
+    // hand-built 2x2 single-frame stream with per-frame params (spec-legal)
+    val tiny = "YUV4MPEG2 W2 H2 F30000:1001 Ip A0:0 C420 Xfoo\n".getBytes("US-ASCII") ++
+      "FRAME Ixyz\n".getBytes("US-ASCII") ++ Array.tabulate[Byte](6)(_.toByte)
+    val (tw, th, tf, _) = Multimodal.parseY4m(tiny)
+    assert((tw, th, tf) === ((2, 2, 1)))
+    // corrupt: truncated frame, missing FRAME marker, odd dims, bad chroma
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseY4m(payload.dropRight(1)))
+    assertThrows[IllegalArgumentException](Multimodal.parseY4m(
+      "YUV4MPEG2 W2 H2 C420\nBOGUS\n      "
+        .getBytes("US-ASCII")))
+    assertThrows[IllegalArgumentException](Multimodal.parseY4m(
+      "YUV4MPEG2 W3 H2 C420\n".getBytes("US-ASCII")))
+    assertThrows[IllegalArgumentException](Multimodal.parseY4m(
+      "YUV4MPEG2 W2 H2 C444\n".getBytes("US-ASCII")))
+  }
+
+  test("CSV table decoder: rectangularity + numeric validation") {
+    import graft.ops.Multimodal
+    val payload = Multimodal.fakePayload("table", "media://doc_t/1")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("media://doc_t/1".getBytes("UTF-8"))
+    def b(i: Int) = java.lang.Byte.toUnsignedInt(md(i))
+    val (cols, rows, one, feat) = Multimodal.parseCsvTable(payload)
+    assert((cols, rows, one) === (3 + b(1) % 6, 5 + b(2) % 36, 1))
+    assert(feat.length === 8 && feat.forall(f => f >= -1.0f && f <= 1.0f))
+    assert(Multimodal.decode("table", payload)._1 === cols)
+    // ragged and non-numeric tables must be rejected
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseCsvTable("1,2,3\n4,5\n".getBytes("US-ASCII")))
+    assertThrows[IllegalArgumentException](
+      Multimodal.parseCsvTable("1,2\n3,x\n".getBytes("US-ASCII")))
+    // unknown-format payload for a non-table kind falls back to the stub
+    val junk = Array.tabulate[Byte](80)(i => (i * 7).toByte)
+    val (dw, dh, df, dfeat) = Multimodal.decode("audio", junk)
+    val (sw, sh, sf, sfeat) = Multimodal.decodeStub("audio", junk)
+    assert((dw, dh, df) === ((sw, sh, sf)))
+    assert(dfeat.toSeq === sfeat.toSeq)
   }
 }
