@@ -160,7 +160,12 @@ object Verify {
     }
     val sub = und.filter(e => reach(e._1) && reach(e._2)).toSeq.sorted
     val scores = graft.retrieval.Ppr.serialScores(sub, seeds)
-    val top = scores.toSeq.sortBy { case (e, s) => (-s, e) }.take(50).toMap
+    // the top-50 cut orders by the 9dp-rounded score (mirroring
+    // Ppr.scoreChunks exactly — see the boundary-stability note there);
+    // the unrounded score still feeds the chunk sum
+    def r9(s: Double): Double =
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val top = scores.toSeq.sortBy { case (e, s) => (-r9(s), e) }.take(50).toMap
     o.mentionsFinal
       .filter(m => top.contains(m.entity_name.toLowerCase))
       .groupBy(_.chunk_id)

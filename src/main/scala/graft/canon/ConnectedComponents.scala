@@ -94,6 +94,15 @@ object ConnectedComponents {
     // graphs otherwise pay hundreds of empty tasks per round
     val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 50000L).toInt + 1))
+    // scope the loop's shuffle width + AQE to the data as well (same
+    // rationale and restore discipline as Ppr.scores): each round's groupBy
+    // would otherwise exchange at session width with AQE re-planning every
+    // tiny stage
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // localCheckpoint (not persist): also truncates the edge table's
     // lineage — the caller's plan can embed the whole upstream construct
     // DAG, which every round's actions would otherwise re-stringify into
@@ -151,5 +160,10 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIters iterations")
     bi.unpersist()
     labels
+
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

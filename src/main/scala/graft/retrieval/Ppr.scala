@@ -98,9 +98,24 @@ object Ppr {
     score
   }
 
+  /** Vertex-count bound under which the distributed power iteration ships
+    * the score vector to executors as a broadcast each step instead of
+    * shuffle-joining it. The score vector of the depth-bounded induced
+    * subgraph is (entity, double) — ~50 bytes/row, so the default 2M rows
+    * ≈ 100 MB per broadcast, well inside executor memory. The edge table
+    * (the side that actually scales with the graph) is never broadcast and
+    * never re-shuffled: it is hash-partitioned by dst ONCE before the loop,
+    * so each iteration is one pass over the edge partitions (broadcast hash
+    * join + partition-local aggregation, zero exchanges) plus one pass over
+    * the vertex table. Beyond the cap the loop falls back to shuffle joins
+    * with identical math.
+    */
+  val BroadcastVertexCap = 2000000L
+
   /** Power iteration → (entity, ppr) scores, descending. */
   def scores(spark: SparkSession, subgraph: DataFrame,
-      seedDf: DataFrame, localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+      seedDf: DataFrame, localEdgeCap: Long = LocalEdgeCap,
+      broadcastVertexCap: Long = BroadcastVertexCap): DataFrame = {
     import spark.implicits._
     val seedSet = seedDf.select(lower(col("name")).as("entity")).distinct()
       .persist()
@@ -120,6 +135,20 @@ object Ppr {
         .orderBy(col("ppr").desc, col("entity").asc)
     }
 
+    // scope the loop's physical knobs to the data, not the session: the
+    // induced subgraph is orders of magnitude smaller than the corpus, so
+    // session-sized shuffles (32+ partitions) and AQE's per-stage re-plan
+    // latency dominate 20 tiny iterations. Both settings are restored after
+    // the loop (measured ~2x on the forced-distributed kg_ppr_dist gate
+    // query; at real scale nEdges sizes the partition count back up).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (edgeCount / 50000L).toInt + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+
     // truncate the loop-invariant inputs' lineage BEFORE iterating: the
     // caller's subgraph/seed plans can embed the entire upstream construct
     // DAG, and every iteration's actions would re-stringify that tree into
@@ -132,9 +161,91 @@ object Ppr {
       .union(seedsCk.select(col("entity")))
       .distinct().localCheckpoint(true)
     val outdeg = sub.groupBy(col("src").as("entity"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("outdeg"))
 
     val seedShare = 1.0 / nSeeds
+    // constant (1-d) teleport to the seeds only; dangling mass is dropped
+    // and the per-step L1 normalization restores total mass — the reference
+    // semantics (ppr_traversal.py:240-252). Also saves one driver action
+    // per iteration vs computing a dangling-mass aggregate.
+    val teleport = 1.0 - Damping
+
+    val nVerts = vertices.count()
+    if (nVerts <= broadcastVertexCap) {
+      // Broadcast-loop: per-edge damping/outdeg factor attached once, edge
+      // table hash-partitioned by dst once — each iteration's propagate +
+      // aggregate then runs WITHOUT any exchange (the broadcast hash join
+      // preserves the edge scan's dst-partitioning, which the groupBy
+      // reuses), and the tiny score vector is what travels. One
+      // materialization per step (the fused raw/prev frame) + two scalar
+      // aggregates over it replace the previous ~6 shuffle stages and 3
+      // wide actions per step — measured ~4x on the forced-distributed
+      // kg_ppr_dist gate query.
+      val edgeFactor = sub
+        .join(outdeg, sub("src") === outdeg("entity"))
+        .select(col("src"), col("dst"),
+          (lit(Damping) / col("outdeg")).as("factor"))
+        .repartition(col("dst"))
+        .localCheckpoint(true)
+
+      // the loop's state frame: (entity, teleport_add, raw, prev) where
+      // raw is the UN-normalized score of the latest step and prev the
+      // normalized score of the one before. The per-step L1 scalar enters
+      // every plan as a COLUMN from a one-row broadcast LocalRelation, not
+      // as a literal: a changing literal would generate different codegen
+      // source each iteration and defeat the codegen cache — measured as
+      // ~2/3 of the cold-run wall clock on the kg_ppr_dist gate query
+      // (Janino recompiling 20 nearly-identical stages).
+      var l1m = 1.0 // initial scores are seed-normalized by construction
+      var joined = vertices
+        .join(seedsCk.withColumn("is_seed", lit(true)), Seq("entity"), "left")
+        .select(col("entity"),
+          when(col("is_seed"), lit(teleport * seedShare))
+            .otherwise(lit(0.0)).as("teleport_add"),
+          when(col("is_seed"), lit(seedShare)).otherwise(lit(0.0)).as("raw"),
+          lit(0.0).as("prev"))
+        .localCheckpoint(true)
+      var it = 0
+      var delta = Double.MaxValue
+      var prevCk: DataFrame = null
+      while (it < MaxIter && delta >= Tol) {
+        val l1df = broadcast(Seq(l1m).toDF("l1"))
+        val cur = joined.crossJoin(l1df)
+          .select(col("entity").as("src_e"),
+            (col("raw") / col("l1")).as("score"))
+        val propagated = edgeFactor
+          .join(broadcast(cur), col("src") === col("src_e"))
+          .groupBy(col("dst").as("entity"))
+          .agg(sum(col("score") * col("factor")).as("inflow"))
+        val next = joined.crossJoin(l1df)
+          .select(col("entity"), col("teleport_add"),
+            (col("raw") / col("l1")).as("prev"))
+          .join(broadcast(propagated), Seq("entity"), "left")
+          .select(col("entity"), col("teleport_add"),
+            (coalesce(col("inflow"), lit(0.0)) + col("teleport_add"))
+              .as("raw"),
+            col("prev"))
+          .localCheckpoint()
+        val l1n = math.max(
+          next.agg(sum(abs(col("raw")))).head().getDouble(0), 1e-12)
+        delta = next.crossJoin(broadcast(Seq(l1n).toDF("l1")))
+          .agg(sum(abs(col("raw") / col("l1") - col("prev"))))
+          .head().getDouble(0)
+        if (prevCk != null) prevCk.unpersist()
+        prevCk = joined
+        joined = next
+        l1m = l1n
+        it += 1
+      }
+      seedSet.unpersist()
+      return joined.crossJoin(broadcast(Seq(l1m).toDF("l1")))
+        .select(col("entity"), (col("raw") / col("l1")).as("ppr"))
+        .orderBy(col("ppr").desc, col("entity").asc)
+    }
+
+    // Shuffle-loop fallback for vertex sets too large to broadcast:
+    // identical math, score vector shuffle-joined each step.
+    val outdegCk = outdeg.localCheckpoint(true)
     var cur = vertices
       .join(seedsCk.withColumn("is_seed", lit(true)), Seq("entity"), "left")
       .select(col("entity"),
@@ -144,17 +255,12 @@ object Ppr {
     var it = 0
     var delta = Double.MaxValue
     while (it < MaxIter && delta >= Tol) {
-      val flowing = cur.join(outdeg, Seq("entity"), "inner")
+      val flowing = cur.join(outdegCk, Seq("entity"), "inner")
         .select(col("entity"), (col("score") / col("outdeg")).as("share"))
       val propagated = sub
         .join(flowing, sub("src") === flowing("entity"))
         .groupBy(col("dst").as("entity"))
         .agg(sum(col("share") * lit(Damping)).as("inflow"))
-      // constant (1-d) teleport to the seeds only; dangling mass is dropped
-      // and the L1 normalization below restores total mass — the reference
-      // semantics (ppr_traversal.py:240-252). Also saves one driver action
-      // per iteration vs computing a dangling-mass aggregate.
-      val teleport = 1.0 - Damping
       val next0 = vertices
         .join(propagated, Seq("entity"), "left")
         .join(seedsCk.withColumn("is_seed", lit(true)), Seq("entity"), "left")
@@ -172,9 +278,14 @@ object Ppr {
       cur = next.persist()
       it += 1
     }
-    seedSet.unpersist(); vertices.unpersist(); outdeg.unpersist()
+    seedSet.unpersist(); vertices.unpersist()
     cur.select(col("entity"), col("score").as("ppr"))
       .orderBy(col("ppr").desc, col("entity").asc)
+
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Chunk scoring: score(chunk) = Σ ppr(entity)·mention_confidence over
@@ -185,7 +296,16 @@ object Ppr {
     */
   def scoreChunks(mentions: DataFrame, pprScores: DataFrame,
       entityCap: Int = 50, topK: Int = 10): DataFrame = {
-    val top = broadcast(pprScores.limit(entityCap))
+    // the top-`entityCap` cut orders by the score ROUNDED to 9dp (ties then
+    // on entity): distributed power iteration cannot promise the serial
+    // oracle's exact double at the #50 boundary (sum order + factored
+    // damping differ in ULPs), and an unrounded cut let a boundary entity
+    // flip between engine and oracle. 9dp is far above the ~1e-12 relative
+    // engine/oracle divergence and far below real inter-entity gaps. The
+    // UNROUNDED score still feeds the chunk sum below.
+    val top = broadcast(pprScores
+      .orderBy(round(col("ppr"), 9).desc, col("entity").asc)
+      .limit(entityCap))
     mentions
       .join(top, lower(col("entity_name")) === col("entity"))
       .groupBy(col("chunk_id"))

@@ -86,13 +86,18 @@ class RetrievalSpec extends AnyFunSuite {
     val sub = Ppr.inducedSubgraph(edges, seedDf, depth = 3).cache()
     val got = Ppr.scores(spark, sub, seedDf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // the distributed DataFrame loop (forced by localEdgeCap=0) must agree
-    // with the driver-local fast path to numerical precision
-    val distributed = Ppr.scores(spark, sub, seedDf, localEdgeCap = 0L)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    got.foreach { case (k, v) =>
-      assert(math.abs(distributed(k) - v) < 1e-9,
-        s"$k: local=$v distributed=${distributed(k)}")
+    // BOTH distributed loop variants (forced by localEdgeCap=0) must agree
+    // with the driver-local fast path to numerical precision: the
+    // broadcast-score loop (vertex count under BroadcastVertexCap) and the
+    // shuffle-join fallback (forced by broadcastVertexCap=0)
+    for (bcastCap <- Seq(Ppr.BroadcastVertexCap, 0L)) {
+      val distributed = Ppr.scores(spark, sub, seedDf, localEdgeCap = 0L,
+        broadcastVertexCap = bcastCap)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got.foreach { case (k, v) =>
+        assert(math.abs(distributed(k) - v) < 1e-9,
+          s"$k (cap=$bcastCap): local=$v distributed=${distributed(k)}")
+      }
     }
 
     // serial oracle: same contract, plain Scala
