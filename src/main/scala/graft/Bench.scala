@@ -40,22 +40,18 @@ object Bench {
     s
   }
 
-  /** One full pipeline pass; returns wall seconds (synth → canonical edges
-    * count, forcing every stage).
+  /** One full pipeline pass in an EXISTING session; returns wall seconds
+    * (synth → canonical edges count, forcing every stage).
     */
-  private def pipelineOnce(cores: Int, nDocs: Long): Double = {
-    val s = session(cores)
-    try {
-      timeSec {
-        val r = Pipeline.runSynth(s, nDocs, seed = 42L,
-          cfg = SpanChunker.Config(200, 40), partitions = cores * 2)
-        r.edges.count()
-        r.nodes.count()
-        r.mentionsFinal.count()
-        r.unpersistAll()
-      }
-    } finally s.stop()
-  }
+  private def pipelineRun(s: SparkSession, cores: Int, nDocs: Long): Double =
+    timeSec {
+      val r = Pipeline.runSynth(s, nDocs, seed = 42L,
+        cfg = SpanChunker.Config(200, 40), partitions = cores * 2)
+      r.edges.count()
+      r.nodes.count()
+      r.mentionsFinal.count()
+      r.unpersistAll()
+    }
 
   /** Measure one parallelism level in a FRESH child JVM (own warm-up pass
     * first). Running both levels in one JVM is unsound: the second level
@@ -106,13 +102,39 @@ object Bench {
       s"child bench JVM (cores=$cores) exited rc=$rc without a timing line"))
   }
 
+  /** A failed child (OOM-killed by a co-tenant burst, transient runtime
+    * fault) retries once in another fresh JVM — loudly, on stderr — before
+    * failing the whole benchmark. NOT a silent in-JVM fallback: every
+    * accepted number still comes from an identical fresh pinned child.
+    */
+  private def childWithRetry(cores: Int, nDocs: Long): Double =
+    try pipelineInChildJvm(cores, nDocs)
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] child (cores=$cores) failed once: ${e.getMessage}; retrying")
+        pipelineInChildJvm(cores, nDocs)
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.length == 3 && args(0) == "pipeline") {
-      // child-JVM mode: warm up then measure at one parallelism level
+      // child-JVM mode: warm up then measure at one parallelism level.
+      // BOTH passes share one session: a stop-and-recreate between them
+      // left the second context's AQE cached-stage rebuild racing against
+      // stale CacheManager entries whose plans carried the first (stopped)
+      // session — observed as a flaky NPE in CacheManager.tryRebuildCacheEntry
+      // (SparkPlan.session null). Between passes the warm-up's cache
+      // entries and leftover localCheckpoint RDD blocks are dropped so the
+      // measured pass starts from a clean block manager.
       val cores = args(1).toInt
       val nDocs = args(2).toLong
-      pipelineOnce(cores, math.max(nDocs / 10, 500L))
-      println(f"PIPELINE_SEC ${pipelineOnce(cores, nDocs)}%.3f")
+      val s = session(cores)
+      try {
+        pipelineRun(s, cores, math.max(nDocs / 10, 500L))
+        s.sharedState.cacheManager.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        println(f"PIPELINE_SEC ${pipelineRun(s, cores, nDocs)}%.3f")
+      } finally s.stop()
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,8 +211,8 @@ object Bench {
       else {
         var stop = false
         while (pairs.size < repsMax && !stop) {
-          val lo = pipelineInChildJvm(coresLo, benchDocs)
-          val hi = pipelineInChildJvm(coresHi, benchDocs)
+          val lo = childWithRetry(coresLo, benchDocs)
+          val hi = childWithRetry(coresHi, benchDocs)
           pairs += ((lo, hi))
           val eff = (pairs.map(_._1).min / pairs.map(_._2).min) / factor
           val losSorted = pairs.map(_._1).sorted

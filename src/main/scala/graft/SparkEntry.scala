@@ -256,6 +256,19 @@ object SparkEntry {
       Dedup.simhashExactFloored(s.read.parquet(docsPath(dir)),
         shingled(s, dir, 5), minhashCands(s, dir),
         maxHamming = 7, threshold = 0.9)),
+    "q_dedup_cluster" -> ((s, dir) => {
+      // near-dup canonicalization: CC over the verified >= 0.7 pairs ->
+      // min-id canonical per cluster. Numeric ids are zero-padded for the
+      // CC loop (string labels: lexicographic min must equal numeric min),
+      // then cast back. DuckDB recomputes via recursive transitive closure.
+      val pairs = Dedup.verifyJaccardSh(shingled(s, dir, 5),
+        minhashCands(s, dir), threshold = 0.7)
+      Dedup.clusterNearDups(s, pairs.select(
+        lpad(col("id1").cast("string"), 20, "0").as("id1"),
+        lpad(col("id2").cast("string"), 20, "0").as("id2")))
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("canonical_doc_id").cast("bigint").as("canonical_doc_id"))
+    }),
     "q_emb_neardup" -> ((s, dir) => {
       // label-blocked exact cosine near-dup (blocking = the label column).
       // the corpus has no true near-dups, so seed deterministic scaled
@@ -654,6 +667,7 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.8""".stripMargin,
     "q_dedup_minhash" -> exactJaccardSql(0.7),
     "q_dedup_simhash" -> exactJaccardSql(0.9),
+    "q_dedup_cluster" -> dedupClusterSql(0.7),
     "q_fingerprint_rolling" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -828,8 +842,11 @@ object SparkEntry {
   /** Exact all-pairs 5-gram Jaccard >= threshold (NO df cap, no blocking) —
     * the ground truth the LSH-then-verify dedup variants must reproduce.
     */
-  private def exactJaccardSql(threshold: Double): String =
-    s"""WITH toks AS (
+  /** Shared CTE chain computing exact all-pairs 5-gram Jaccard from scratch
+    * (no blocking — the oracle must be blind to the engine's LSH).
+    */
+  private val exactJaccardCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    x -> x <> '') AS t
        |  FROM documents),
@@ -845,11 +862,32 @@ object SparkEntry {
        |    any_value(a.n) AS n1, any_value(b.n) AS n2
        |  FROM inv a JOIN inv b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def exactJaccardSql(threshold: Double): String =
+    s"""WITH $exactJaccardCtes
        |SELECT id1, id2,
        |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
        |FROM pairs
        |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold""".stripMargin
+
+  /** Transitive closure over the exact near-dup pairs (recursive CTE; the
+    * clusters are tiny, so full reachability enumeration is cheap for the
+    * oracle) → per-doc canonical = min id in the component.
+    */
+  private def dedupClusterSql(threshold: Double): String =
+    s"""WITH RECURSIVE $exactJaccardCtes,
+       |np AS (
+       |  SELECT id1, id2 FROM pairs
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold),
+       |und AS (SELECT id1 AS a, id2 AS b FROM np
+       |        UNION SELECT id2, id1 FROM np),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.id)
+       |SELECT id AS doc_id, least(id, min(r)) AS canonical_doc_id
+       |FROM reach GROUP BY id""".stripMargin
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>

@@ -388,4 +388,25 @@ object Dedup {
       .where(col("cosine") >= lit(threshold))
       .select("id1", "id2", "cosine")
   }
+
+  /** Near-dup canonicalization — the keep-one-representative step that
+    * closes a training-data dedup pipeline: connected components over the
+    * verified near-dup pair table → (doc_id, canonical_doc_id) for every
+    * document in a cluster, canonical = MIN id in the component (the same
+    * deterministic rule as exact dedup and entity canonicalization).
+    * Near-duplication is transitive in practice (A≈B, B≈C ⇒ one cluster
+    * even when J(A,C) dips below the gate), which pairwise filtering alone
+    * cannot express — this is why the star-collapse of over-cap LSH
+    * buckets upstream is lossless for the final cluster assignment.
+    *
+    * Ids of any orderable string form work; numeric ids must be passed
+    * zero-padded (the CC labels are strings, so lexicographic min must
+    * coincide with the caller's intended ordering). Scale posture is CC's:
+    * driver union-find under the edge cap, label propagation above it.
+    */
+  def clusterNearDups(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame =
+    graft.canon.ConnectedComponents.run(spark,
+      pairs.select(col("id1"), col("id2")))
+      .select(col("id").as("doc_id"), col("component").as("canonical_doc_id"))
 }

@@ -392,4 +392,14 @@ class OpsSpec extends AnyFunSuite {
     assert((dw, dh, df) === ((sw, sh, sf)))
     assert(dfeat.toSeq === sfeat.toSeq)
   }
+
+  test("near-dup cluster canonicalization: transitive closure, min-id canonical") {
+    // A-B, B-C chain (transitive: one cluster even with no direct A-C pair)
+    // plus an independent D-E pair: two clusters, canonical = min id
+    val pairs = Seq(("b", "a"), ("b", "c"), ("e", "d")).toDF("id1", "id2")
+    val got = Dedup.clusterNearDups(spark, pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d"))
+  }
 }
