@@ -187,6 +187,8 @@ object Bench {
         val spark = session(cpus)
         val build = "kg_pipeline_build" ->
           timeSec(SparkEntry.warmKg(spark, sfDir))
+        val shBuild = "dedup_shingle_build" ->
+          timeSec(SparkEntry.warmShingles(spark, sfDir))
         val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val sec = try {
             timeSec(fn(spark, sfDir).count())
@@ -198,7 +200,7 @@ object Bench {
           name -> sec
         }
         spark.stop()
-        build +: rs
+        Seq(build, shBuild) ++ rs
       }
 
     // part 2: scaling evidence (identical code + input, two parallelism

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
 import graft.temporal.Temporal
 
@@ -105,6 +105,15 @@ object SparkEntry {
     shCache.computeIfAbsent(s"${s.hashCode()}:$dir:mhcands", _ =>
       Dedup.minhashLshSh(shingled(s, dir, 5), numHashes = 64, bands = 32,
         threshold = 0.0).persist())
+
+  /** Force the memoized shared shingle + MinHash-candidate tables (Bench
+    * times this build apart from the dedup queries that consume it, so the
+    * alphabetically-first consumer doesn't absorb the whole build cost).
+    */
+  def warmShingles(s: SparkSession, dir: String): Unit = {
+    shingled(s, dir, 5).count()
+    minhashCands(s, dir).count()
+  }
 
   /** KG-pipeline knobs shared with Verify's serial-oracle dump (the DuckDB
     * gate compares the engine's kg_* tables against the oracle's, so both
@@ -347,6 +356,10 @@ object SparkEntry {
       TextAnalysis.qualityScore(s.read.parquet(docsPath(dir)))),
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(s.read.parquet(docsPath(dir)))),
+    "q_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(s.read.parquet(docsPath(dir)), k = 5)),
+    "q_split" -> ((s, dir) =>
+      Sampling.hashSplit(s.read.parquet(docsPath(dir)))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
         .select("doc_id", "content_md5")),
@@ -773,6 +786,33 @@ object SparkEntry {
         graft.ops.TextAnalysis.BpeishPattern.replace("'", "''") +
         """')) AS n_subwords
         |FROM p""".stripMargin),
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, term_rank
+        |FROM r WHERE term_rank <= 5""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents)""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin,
     "q_entity_any" ->

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split operators for a training-data
+  * pipeline. Every assignment is a pure function of the row's key — no RNG
+  * state, no seed tables, no shuffle — so splits are reproducible across
+  * runs, engines and cluster sizes, and a re-run (or a resumed ingest)
+  * lands every document in the same fold.
+  *
+  * The hash is the first 8 hex chars of md5(key) read as an integer: md5
+  * is available bit-identically in Spark, DuckDB, Python and shell, which
+  * makes the fold assignment auditable outside the engine (the DuckDB
+  * oracle recomputes it from scratch). 32 bits of md5 over a mod-100
+  * bucket keeps the per-bucket bias below 1e-8 — negligible against any
+  * corpus. Everything is codegen'd column algebra: the scan reads only
+  * the key column (+ projected payload), filters push down, nothing
+  * shuffles, so the operator costs one narrow pass at any scale.
+  */
+object Sampling {
+
+  /** 32-bit md5 prefix of the key, as a non-negative bigint. */
+  def md5Bucket32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+  /** Percent bucket 0-99, uniform over keys. */
+  def pctBucket(key: Column): Column = md5Bucket32(key) % 100
+
+  /** Deterministic train/val/test split: (idCol, bucket, split) with
+    * bucket < trainPct → "train", < trainPct+valPct → "val", else "test".
+    * A row's fold depends only on its id — stable under corpus growth
+    * (new docs land in folds at the configured rates; old docs never
+    * move), the property batch re-training pipelines rely on.
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    docs.select(col(idCol), pctBucket(col(idCol)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < lit(trainPct), lit("train"))
+          .when(col("bucket") < lit(trainPct + valPct), lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Deterministic fraction-sample: keep a row iff its 10k-bucket falls
+    * under fraction*10000. `salt` decorrelates independent samples over
+    * the same keys (salt-concatenated before hashing).
+    */
+  def sampleByHash(docs: DataFrame, idCol: String = "doc_id",
+      fraction: Double = 0.1, salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val bucket =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 8), 16, 10).cast("bigint") % 10000
+    docs.where(bucket < lit(math.round(fraction * 10000)))
+  }
+}

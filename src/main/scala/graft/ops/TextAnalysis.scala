@@ -128,4 +128,39 @@ object TextAnalysis {
       md5(col("text").cast("binary")).as("content_md5"),
       rolling.as("rolling_hash"))
   }
+
+  /** Top-k characteristic terms per document by tf-idf (smoothed:
+    * tf · ln((N+1)/(df+1))) — the classic keyword/feature extractor a
+    * training pipeline runs for topic tagging and quality filtering.
+    *
+    * Plan shape at scale: one narrow tokenize+explode pass → one
+    * (doc_id, term) shuffle for tf → one (term) shuffle for df (rows =
+    * vocabulary, FAR smaller than the corpus — Zipf) → tf⋈df sort-merge
+    * on term → per-doc top-k window. All aggregates get map-side partial
+    * combine; nothing is collected to the driver except the corpus-count
+    * scalar (a parquet rowcount read from footer metadata).
+    *
+    * Ranking ties are broken by term ascending, and the rank ORDERS BY the
+    * 4dp-ROUNDED score so an engine-vs-oracle ulp difference in ln cannot
+    * flip adjacent ranks (both engines see identical rounded keys).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w).cast("bigint"))
+      .where(col("term_rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "term_rank")
+  }
 }

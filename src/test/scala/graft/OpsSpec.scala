@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.SimHash64
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -391,6 +391,65 @@ class OpsSpec extends AnyFunSuite {
     val (sw, sh, sf, sfeat) = Multimodal.decodeStub("audio", junk)
     assert((dw, dh, df) === ((sw, sh, sf)))
     assert(dfeat.toSeq === sfeat.toSeq)
+  }
+
+  test("hash split is deterministic, complete, and matches reference md5 buckets") {
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val got = Sampling.hashSplit(ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size === 2000)
+    // cross-engine reference: md5("42")[0:8] = a1d0c6e8 -> 2714814184 % 100 = 84
+    assert(got(42L) === ((84L, "val")))
+    // every bucket within [0,100); split labels consistent with bucket
+    got.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s === (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // rates roughly match the configured percentages on 2000 uniform keys
+    val byCat = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(byCat("train") - 1600) < 100)
+    assert(math.abs(byCat("val") - 200) < 60)
+    // repartitioning does not move any document between folds
+    val again = Sampling.hashSplit(ids.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === got)
+  }
+
+  test("hash sample keeps a stable subset at the configured fraction") {
+    val ids = spark.range(0, 5000).toDF("doc_id")
+    val s1 = Sampling.sampleByHash(ids, fraction = 0.2).collect()
+      .map(_.getLong(0)).toSet
+    assert(math.abs(s1.size - 1000) < 120)
+    // deterministic across runs; salted sample decorrelates
+    val s2 = Sampling.sampleByHash(ids, fraction = 0.2).collect()
+      .map(_.getLong(0)).toSet
+    assert(s2 === s1)
+    val salted = Sampling.sampleByHash(ids, fraction = 0.2, salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted !== s1)
+  }
+
+  test("tf-idf top terms rank corpus-rare terms above ubiquitous ones") {
+    val corpus = Seq(
+      (0L, "alpha alpha beta common common"),
+      (1L, "beta gamma common common"),
+      (2L, "delta delta delta common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // "common" appears in every doc -> idf ln(4/4)=0 -> never outranks
+    // a doc-local term; doc 0's top term is the doubled doc-rare "alpha"
+    assert(got((0L, 1L)) === "alpha")
+    assert(got((2L, 1L)) === "delta")
+    assert(!got.values.toSet.contains("common") ||
+      got.count(_._2 == "common") < 3)
+    // scores are 4dp-rounded, tf/df are exact counts
+    val row0 = TextAnalysis.tfidfTopTerms(corpus, k = 1)
+      .where(col("doc_id") === 0L).collect().head
+    assert(row0.getLong(2) === 2L) // tf(alpha, doc0)
+    assert(row0.getLong(3) === 1L) // df(alpha)
+    assert(row0.getDouble(4) === BigDecimal(2.0 * math.log(4.0 / 2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("near-dup cluster canonicalization: transitive closure, min-id canonical") {
