@@ -173,7 +173,7 @@ object Bench {
     // clean-window value, not an under-sampled inflated one); otherwise it
     // keeps going up to SPARK_GRAFT_BENCH_REPS pairs. Per-rep pairs are
     // emitted in the JSON for transparency.
-    val repsMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+    val repsMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "8").toInt
     val repsFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_FLOOR", "3").toInt
     val effTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
 
