@@ -278,6 +278,25 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"),
           col("canonical_doc_id").cast("bigint").as("canonical_doc_id"))
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // retention policy: keep the LONGEST document per near-dup cluster
+      // (score = char length; ties -> min doc_id). Same cluster assignment
+      // as q_dedup_cluster; DuckDB recomputes closure + argmax from scratch.
+      val pairs = Dedup.verifyJaccardSh(shingled(s, dir, 5),
+        minhashCands(s, dir), threshold = 0.7)
+      val clusters = Dedup.clusterNearDups(s, pairs.select(
+        lpad(col("id1").cast("string"), 20, "0").as("id1"),
+        lpad(col("id2").cast("string"), 20, "0").as("id2")))
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("canonical_doc_id").cast("bigint").as("canonical_doc_id"))
+      val scored = s.read.parquet(docsPath(dir))
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("score"))
+      Dedup.keepBestPerCluster(clusters, scored)
+    }),
+    "q_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSampleByHash(s.read.parquet(docsPath(dir)),
+        fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))),
     "q_emb_neardup" -> ((s, dir) => {
       // label-blocked exact cosine near-dup (blocking = the label column).
       // the corpus has no true near-dups, so seed deterministic scaled
@@ -681,6 +700,16 @@ object SparkEntry {
     "q_dedup_minhash" -> exactJaccardSql(0.7),
     "q_dedup_simhash" -> exactJaccardSql(0.9),
     "q_dedup_cluster" -> dedupClusterSql(0.7),
+    "q_dedup_keep_best" -> dedupKeepBestSql(0.7),
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 5000
+        |               WHEN lang = 'de' THEN 2500
+        |               ELSE 1000 END""".stripMargin,
     "q_fingerprint_rolling" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -913,10 +942,11 @@ object SparkEntry {
 
   /** Transitive closure over the exact near-dup pairs (recursive CTE; the
     * clusters are tiny, so full reachability enumeration is cheap for the
-    * oracle) → per-doc canonical = min id in the component.
+    * oracle) → per-doc canonical = min id in the component. Shared by the
+    * cluster-assignment and keep-best-representative oracles.
     */
-  private def dedupClusterSql(threshold: Double): String =
-    s"""WITH RECURSIVE $exactJaccardCtes,
+  private def dedupClusterCtes(threshold: Double): String =
+    s"""$exactJaccardCtes,
        |np AS (
        |  SELECT id1, id2 FROM pairs
        |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold),
@@ -925,9 +955,33 @@ object SparkEntry {
        |reach(id, r) AS (
        |  SELECT a, b FROM und
        |  UNION
-       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.id)
-       |SELECT id AS doc_id, least(id, min(r)) AS canonical_doc_id
-       |FROM reach GROUP BY id""".stripMargin
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.id),
+       |cl AS (
+       |  SELECT id AS doc_id, least(id, min(r)) AS canonical_doc_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  private def dedupClusterSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${dedupClusterCtes(threshold)}
+       |SELECT doc_id, canonical_doc_id FROM cl""".stripMargin
+
+  /** Keep-one-representative oracle: per cluster, argmax char length with
+    * min-doc_id tie-break, plus the cluster size.
+    */
+  private def dedupKeepBestSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${dedupClusterCtes(threshold)},
+       |sc AS (
+       |  SELECT cl.doc_id, cl.canonical_doc_id AS cluster_id,
+       |    length(d.text) AS score
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM sc)
+       |SELECT cluster_id, doc_id AS kept_doc_id, score AS kept_score,
+       |  cluster_size
+       |FROM rk WHERE rn = 1""".stripMargin
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>

@@ -409,4 +409,29 @@ object Dedup {
     graft.canon.ConnectedComponents.run(spark,
       pairs.select(col("id1"), col("id2")))
       .select(col("id").as("doc_id"), col("component").as("canonical_doc_id"))
+
+  /** Retention policy over near-dup clusters: keep ONE representative per
+    * cluster by maximum score (ties → min doc_id). Real pipelines keep the
+    * best/longest duplicate, not an arbitrary one — min-id canonicalization
+    * answers "which cluster", this answers "which copy survives".
+    *
+    * `scored` must carry (doc_id, score); `clusters` is clusterNearDups
+    * output. One hash join on doc_id (broadcast-eligible: the cluster
+    * table holds only documents IN clusters, a small fraction of any
+    * deduplicated corpus) + one per-cluster window. Output one row per
+    * cluster: (cluster_id, kept_doc_id, kept_score, cluster_size).
+    */
+  def keepBestPerCluster(clusters: DataFrame, scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    val ranked = clusters
+      .select(col("doc_id"), col("canonical_doc_id").as("cluster_id"))
+      .join(scored.select(col("doc_id"), col("score")), "doc_id")
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id").asc)))
+    ranked.where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("score").as("kept_score"), col("cluster_size"))
+  }
 }

@@ -51,9 +51,34 @@ object Sampling {
   def sampleByHash(docs: DataFrame, idCol: String = "doc_id",
       fraction: Double = 0.1, salt: String = ""): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    val bucket =
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
-        1, 8), 16, 10).cast("bigint") % 10000
-    docs.where(bucket < lit(math.round(fraction * 10000)))
+    docs.where(bucket10k(col(idCol), salt) <
+      lit(math.round(fraction * 10000)))
+  }
+
+  private def bucket10k(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("bigint") % 10000
+
+  /** Per-stratum deterministic sampling — the downsample/upweight knob of
+    * corpus mixing (e.g. keep 50% of English, 25% of German, 10% of the
+    * rest). Same md5-bucket mechanics as sampleByHash, so each stratum's
+    * sample is a stable subset of the full corpus and of any
+    * larger-fraction sample of the same stratum (nested samples: raising
+    * a stratum's fraction only ADDS documents — reproducible curriculum
+    * growth). Still a single narrow filter: the per-stratum threshold is
+    * a when-chain literal, no join, no shuffle.
+    */
+  def stratifiedSampleByHash(docs: DataFrame, idCol: String = "doc_id",
+      strataCol: String = "lang", fractions: Map[String, Double],
+      defaultFraction: Double = 0.0, salt: String = ""): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"bad fraction $f"))
+    val limit = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * 10000)): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum),
+          lit(math.round(f * 10000))).otherwise(acc)
+    }
+    docs.where(bucket10k(col(idCol), salt) < limit)
   }
 }

@@ -452,6 +452,39 @@ class OpsSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("stratified hash sample applies per-stratum fractions and nests") {
+    val rows = spark.range(0, 3000).toDF("doc_id")
+      .withColumn("lang",
+        when(col("doc_id") % 3 === 0, "en")
+          .when(col("doc_id") % 3 === 1, "de").otherwise("fr"))
+    val got = Sampling.stratifiedSampleByHash(rows,
+      fractions = Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("en") - 500) < 80)
+    assert(math.abs(got("de") - 200) < 60)
+    assert(got.getOrElse("fr", 0L) < 110)
+    // nesting: the 20% German sample is a subset of a 50% German sample
+    val de20 = Sampling.stratifiedSampleByHash(rows,
+      fractions = Map("de" -> 0.2)).collect().map(_.getLong(0)).toSet
+    val de50 = Sampling.stratifiedSampleByHash(rows,
+      fractions = Map("de" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(de20.subsetOf(de50))
+  }
+
+  test("keep-best retention picks max score per cluster, min-id ties") {
+    val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"),
+      ("e", "d")).toDF("doc_id", "canonical_doc_id")
+    val scored = Seq(("a", 10L), ("b", 50L), ("c", 50L), ("d", 7L),
+      ("e", 3L)).toDF("doc_id", "score")
+    val got = Dedup.keepBestPerCluster(clusters, scored).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // cluster a: b and c tie at 50 -> min doc_id "b" wins; size 3
+    assert(got("a") === (("b", 50L, 3L)))
+    assert(got("d") === (("d", 7L, 2L)))
+  }
+
   test("near-dup cluster canonicalization: transitive closure, min-id canonical") {
     // A-B, B-C chain (transitive: one cluster even with no direct A-C pair)
     // plus an independent D-E pair: two clusters, canonical = min id
