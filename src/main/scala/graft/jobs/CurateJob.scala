@@ -1,0 +1,174 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.TableIO
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** The training-data curation entry point: raw documents parquet in,
+  * training-ready table out, with a TableIO snapshot at every stage
+  * boundary (same resume semantics as IngestJob — a killed run restarts
+  * from the last committed stage, and every stage is deterministic so the
+  * resumed output is byte-identical).
+  *
+  * Stage DAG (each a classic large-corpus curation step):
+  *
+  *   analyzed      one narrow pass: fingerprints + token/quality stats +
+  *                 language ID joined into the document row (no shuffle)
+  *   filtered      quality gate: minimum token count, optional language
+  *                 allowlist — cheap filters run BEFORE any pair work
+  *   exact_kept    exact dedup: one row per distinct content_md5,
+  *                 keep = min doc_id (one 16-byte-key shuffle)
+  *   neardup_pairs MinHash-LSH banding → exact-Jaccard verification over
+  *                 the exact-dedup survivors (all pair generation blocked
+  *                 and frequency-capped; see ops/Dedup)
+  *   clusters      connected components over verified pairs → cluster id
+  *   curated       keep-best retention (longest doc per cluster survives)
+  *                 + deterministic train/val/test split, partitioned by
+  *                 split so a trainer reads its fold via partition pruning
+  *
+  * Usage:
+  *   CurateJob --work DIR --input docs.parquet [--threshold 0.7]
+  *             [--min-tokens N] [--langs en,de] [--train 80] [--val 10]
+  *             [--resume]
+  */
+object CurateJob {
+
+  final case class Args(
+      work: String = "",
+      input: String = "",
+      threshold: Double = 0.7,
+      minTokens: Int = 0,
+      langs: Option[Set[String]] = None,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      resume: Boolean = false)
+
+  def parse(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--work" => a = a.copy(work = argv(i + 1)); i += 2
+        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--threshold" => a = a.copy(threshold = argv(i + 1).toDouble); i += 2
+        case "--min-tokens" => a = a.copy(minTokens = argv(i + 1).toInt); i += 2
+        case "--langs" =>
+          a = a.copy(langs = Some(argv(i + 1).split(",").map(_.trim).toSet))
+          i += 2
+        case "--train" => a = a.copy(trainPct = argv(i + 1).toInt); i += 2
+        case "--val" => a = a.copy(valPct = argv(i + 1).toInt); i += 2
+        case "--resume" => a = a.copy(resume = true); i += 1
+        case other => sys.error(s"unknown arg $other")
+      }
+    }
+    require(a.work.nonEmpty, "--work DIR is required")
+    require(a.input.nonEmpty, "--input PATH is required")
+    a
+  }
+
+  private def stage(io: TableIO, spark: SparkSession, table: String,
+      resume: Boolean, partitionBy: Seq[String])(compute: => DataFrame): DataFrame = {
+    if (resume && io.exists(table)) {
+      System.err.println(s"[curate] stage $table: resumed from snapshot " +
+        s"${io.currentSnapshotId(table).get}")
+    } else {
+      val t0 = System.nanoTime()
+      val snap = io.commit(table, compute, partitionBy, stage = table)
+      System.err.println(f"[curate] stage $table: committed snapshot " +
+        f"${snap.snapshotId} rows=${snap.rows} in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    io.read(spark, table)
+  }
+
+  def run(spark: SparkSession, a: Args): TableIO = {
+    val io = new TableIO(a.work)
+
+    val analyzed = stage(io, spark, "analyzed", a.resume, Seq.empty) {
+      val raw = spark.read.parquet(a.input)
+      // langId reports the source-metadata language next to its
+      // prediction; inputs without one get a null meta column
+      val docs = if (raw.columns.contains("lang")) raw
+        else raw.withColumn("lang", lit(null).cast("string"))
+      // three column-algebra operators fused into ONE narrow pass over
+      // (doc_id, text): fingerprints, quality stats, language ID — the
+      // joins below are by doc_id against projections of the same scan,
+      // which Catalyst collapses (no exchange appears in the plan)
+      docs
+        .join(TextAnalysis.fingerprint(docs), "doc_id")
+        .join(TextAnalysis.qualityScore(docs)
+          .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+            "type_token_ratio"), "doc_id")
+        .join(TextAnalysis.langId(docs).select(col("doc_id"),
+          col("lang_pred").as("lang_id"), col("marker_hits")), "doc_id")
+    }
+
+    val filtered = stage(io, spark, "filtered", a.resume, Seq.empty) {
+      val byTokens = analyzed.where(col("n_tokens") >= lit(a.minTokens))
+      a.langs match {
+        case Some(ls) => byTokens.where(col("lang_id").isin(ls.toSeq: _*))
+        case None => byTokens
+      }
+    }
+
+    val exactKept = stage(io, spark, "exact_kept", a.resume, Seq.empty) {
+      // keep the minimum doc_id per identical content; doc counts per md5
+      // are tiny, so the row_number window is one bounded-state shuffle
+      val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+      filtered.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+    }
+
+    val pairs = stage(io, spark, "neardup_pairs", a.resume, Seq.empty) {
+      val sh = Dedup.withShingles(
+        exactKept.select(col("doc_id"), col("text")), n = 5)
+      Dedup.verifyJaccardSh(sh,
+        Dedup.minhashLshSh(sh, numHashes = 64, bands = 32, threshold = 0.0),
+        threshold = a.threshold)
+    }
+
+    val clusters = stage(io, spark, "clusters", a.resume, Seq.empty) {
+      Dedup.clusterNearDups(spark, pairs.select(
+        lpad(col("id1").cast("string"), 20, "0").as("id1"),
+        lpad(col("id2").cast("string"), 20, "0").as("id2")))
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("canonical_doc_id").cast("bigint").as("canonical_doc_id"))
+    }
+
+    stage(io, spark, "curated", a.resume, Seq("split")) {
+      val kept = Dedup.keepBestPerCluster(clusters,
+        exactKept.select(col("doc_id"),
+          length(col("text")).cast("bigint").as("score")))
+      // cluster members that are NOT the kept representative drop out;
+      // the loser table is cluster-sized (small), so the anti-join
+      // broadcasts
+      val losers = clusters.join(
+        kept.select(col("kept_doc_id").as("doc_id")), Seq("doc_id"),
+        "left_anti").select(col("doc_id"))
+      val survivors = exactKept.join(broadcast(losers), Seq("doc_id"),
+        "left_anti")
+      survivors.join(
+        Sampling.hashSplit(survivors, trainPct = a.trainPct,
+          valPct = a.valPct).select("doc_id", "split"), "doc_id")
+    }
+
+    io
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, a) finally spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.CurateJob
+
+/** End-to-end curation pipeline: filters → exact dedup → near-dup
+  * clustering → keep-best retention → split assignment, with stage
+  * snapshots and byte-identical resume.
+  */
+class CurateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
+        Files.delete(f))
+
+  // doc 1 == doc 0 (exact dup); docs 2/3 are near-dups of 0 with 3 the
+  // longest; doc 4 is unrelated; doc 5 is too short for the token gate
+  private val base =
+    "the quick brown fox jumps over the lazy dog and then naps in the " +
+      "warm afternoon sun beside the quiet river bank for an hour"
+  private lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base + " again"),
+    (3L, base + " until the evening"),
+    (4L, "completely different text about spark engines exchanging " +
+      "shuffle partitions across executor boundaries with careful salting"),
+    (5L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("curate keeps one best representative per cluster and splits the rest") {
+    val work = Files.createTempDirectory("graft-curate").toString
+    val in = s"$work/in.parquet"
+    corpus.write.parquet(in)
+    val io = CurateJob.run(spark, CurateJob.Args(
+      work = s"$work/w", input = in, minTokens = 5))
+
+    val curated = io.read(spark, "curated")
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 5 fails the token gate; 1 is an exact dup of 0; {0,2,3} cluster at
+    // J>=0.7 and 3 (longest) survives; 4 is untouched
+    assert(ids === Set(3L, 4L))
+    // split column present and consistent with the deterministic fold
+    val splits = curated.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = graft.ops.Sampling.hashSplit(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    splits.foreach { case (id, s) => assert(s === expected(id)) }
+    // every stage committed a snapshot
+    Seq("analyzed", "filtered", "exact_kept", "neardup_pairs", "clusters",
+      "curated").foreach(t => assert(io.exists(t), s"missing stage $t"))
+  }
+
+  test("curate resume after losing downstream stages is byte-identical") {
+    val work = Files.createTempDirectory("graft-curate-r").toString
+    val in = s"$work/in.parquet"
+    corpus.write.parquet(in)
+    val args = CurateJob.Args(work = s"$work/w", input = in, minTokens = 5)
+    val io = CurateJob.run(spark, args)
+    val want = io.read(spark, "curated")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    Seq("neardup_pairs", "clusters", "curated").foreach(t =>
+      deleteRec(java.nio.file.Paths.get(s"$work/w", t)))
+    val io2 = CurateJob.run(spark, args.copy(resume = true))
+    val got = io2.read(spark, "curated")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+}
