@@ -379,6 +379,9 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(s.read.parquet(docsPath(dir)), k = 5)),
     "q_split" -> ((s, dir) =>
       Sampling.hashSplit(s.read.parquet(docsPath(dir)))),
+    "q_pack" -> ((s, dir) =>
+      Sampling.packSequences(s.read.parquet(docsPath(dir)),
+        maxTokens = 256, shards = 8)),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
         .select("doc_id", "content_md5")),
@@ -701,6 +704,24 @@ object SparkEntry {
     "q_dedup_simhash" -> exactJaccardSql(0.9),
     "q_dedup_cluster" -> dedupClusterSql(0.7),
     "q_dedup_keep_best" -> dedupKeepBestSql(0.7),
+    "q_pack" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM p)
+        |SELECT doc_id, shard, n_tokens, cum_before,
+        |  cum_before // 256 AS seq_id, cum_before % 256 AS tok_offset
+        |FROM c""".stripMargin,
     "q_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

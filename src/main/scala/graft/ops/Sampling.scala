@@ -81,4 +81,40 @@ object Sampling {
     }
     docs.where(bucket10k(col(idCol), salt) < limit)
   }
+
+  /** Sequence packing (concatenate-and-chop): lay the corpus out as the
+    * fixed-length training sequences a pretraining data loader feeds the
+    * model. Documents are concatenated in deterministic (shard, doc_id)
+    * order and chopped every maxTokens; each document reports the
+    * sequence it starts in and its token offset there (documents straddle
+    * sequence boundaries — that IS concatenate-and-chop).
+    *
+    * Packing is per-shard (shard = md5 bucket of the id): a single global
+    * running sum would funnel the whole corpus through one window
+    * partition, while per-shard packing keeps the cumulative sum
+    * shard-parallel — and matches how loaders actually shard pretraining
+    * data. Deterministic: same corpus → same sequences, independent of
+    * cluster size or partitioning.
+    *
+    * Output: (idCol, shard, n_tokens, cum_before, seq_id, tok_offset)
+    * where cum_before is the shard-local token count before this doc,
+    * seq_id = cum_before / maxTokens, tok_offset = cum_before % maxTokens.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int, shards: Int = 256,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0 && shards > 0, "maxTokens and shards must be > 0")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        (md5Bucket32(col(idCol)) % shards).as("shard"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("cum_before") / lit(maxTokens)).cast("bigint"))
+      .withColumn("tok_offset", col("cum_before") % lit(maxTokens))
+  }
 }

@@ -472,6 +472,34 @@ class OpsSpec extends AnyFunSuite {
     assert(de20.subsetOf(de50))
   }
 
+  test("sequence packing: shard-local running layout, chop every maxTokens") {
+    val rows = Seq(
+      (10L, "a b c d e"),        // 5 tokens
+      (20L, "f g h i j k l m"),  // 8 tokens
+      (30L, "n o p")             // 3 tokens
+    ).toDF("doc_id", "text")
+    // one shard so the layout is a single deterministic stream
+    val got = Sampling.packSequences(rows, maxTokens = 6, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 10 starts at token 0 (seq 0); doc 20 at 5 (seq 0, offset 5,
+    // straddles into seq 1); doc 30 at 13 (seq 2, offset 1)
+    assert(got.toSeq === Seq((10L, 0L, 0L, 0L), (20L, 5L, 0L, 5L),
+      (30L, 13L, 2L, 1L)))
+    // shard invariants on a larger corpus: offsets bounded, layout is
+    // repartition-independent
+    val big = spark.range(0, 500).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        lit("w"), col("doc_id").cast("string"), lit("x y")))
+    val a = Sampling.packSequences(big, maxTokens = 7, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(a.values.forall(_._2 < 7))
+    val b = Sampling.packSequences(big.repartition(13), maxTokens = 7,
+      shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(b === a)
+  }
+
   test("keep-best retention picks max score per cluster, min-id ties") {
     val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"),
       ("e", "d")).toDF("doc_id", "canonical_doc_id")
