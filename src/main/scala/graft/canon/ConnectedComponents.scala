@@ -132,6 +132,7 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    var prevCk: DataFrame = null
     while (!converged && iter < maxIters) {
       val viaNeighbors = bi
         .join(maybeBcast(labels.withColumnRenamed("id", "dst2")),
@@ -140,21 +141,26 @@ object ConnectedComponents {
       val hooked = labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("component")).as("component"))
-      // hook + jump twice, ONE materializing job per round — driver
-      // round-trips, not task counts, dominate the loop's wall clock
-      val next = jump(jump(hooked)).localCheckpoint(true)
-      // convergence probe every second round (the probe is a full driver
-      // round-trip; an extra harmless iteration is cheaper than a check
-      // per round)
-      if (iter % 2 == 1 || iter == maxIters - 1) {
-        val changed = next
-          .join(maybeBcast(labels.select(col("id").as("oid"),
-            col("component").as("ocomp"))), col("id") === col("oid"))
-          .where(col("component") =!= col("ocomp"))
-          .limit(1).count()
-        converged = changed == 0
-      }
-      labels = next
+      // hook + jump twice, then ONE driver action per round: the old-label
+      // comparison rides the round's frame as a `chg` column (broadcast
+      // join against the previous labels), the checkpoint is LAZY, and the
+      // single sum(chg) aggregate both materializes it and answers the
+      // convergence probe — every round, where the old separate limit(1)
+      // probe cost a second round-trip and only ran every other round
+      val next = jump(jump(hooked))
+        .join(maybeBcast(labels.select(col("id").as("oid"),
+          col("component").as("ocomp"))), col("id") === col("oid"))
+        .select(col("id"), col("component"),
+          (col("component") =!= col("ocomp")).cast("long").as("chg"))
+        .localCheckpoint(false)
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0)
+      converged = changed == 0
+      // the previous round's checkpoint blocks are dead once the new one
+      // is materialized (the new labels' plan references only `next`)
+      if (prevCk != null) prevCk.unpersist()
+      prevCk = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIters iterations")

@@ -39,22 +39,36 @@ object Ppr {
 
   /** Induced subgraph: undirected edges within `depth` hops of the seeds
     * (ppr_traversal.py:261-335).
+    *
+    * Physical shape: the undirected edge table is lowercased ONCE and
+    * localCheckpoint'ed — it is referenced depth+1 times (each hop's
+    * frontier expansion plus the final induction semi-joins), and without
+    * the checkpoint every reference re-evaluates the union/distinct AND
+    * drags the caller's full upstream construct DAG through the optimizer
+    * for every AQE stage (measured: 53 s cold → ~3 s for the whole
+    * subgraph build on the kg_ppr_dist gate query). The reach frontier is
+    * seed-neighborhood-bounded and checkpointed per hop, so AQE sees its
+    * true (small) size and picks broadcast joins against the edge table —
+    * the edge side is never reshuffled.
     */
   def inducedSubgraph(edges: DataFrame, seedDf: DataFrame,
       depth: Int = 2): DataFrame = {
     val und = GraphSearch.undirected(edges)
+      .select(lower(col("src")).as("src"), lower(col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
     var reach = seedDf.select(lower(col("name")).as("entity")).distinct()
+      .localCheckpoint(true)
     for (_ <- 1 to depth) {
-      val next = und.join(reach, lower(und("src")) === reach("entity"))
-        .select(lower(col("dst")).as("entity"))
-      reach = reach.union(next).distinct()
+      val next = und.join(reach, und("src") === reach("entity"))
+        .select(col("dst").as("entity"))
+      reach = reach.union(next).distinct().localCheckpoint(true)
     }
     val r1 = reach.select(col("entity").as("e1"))
     val r2 = reach.select(col("entity").as("e2"))
-    und.join(r1, lower(und("src")) === col("e1"), "left_semi")
-      .join(r2, lower(und("dst")) === col("e2"), "left_semi")
-      .select(lower(col("src")).as("src"), lower(col("dst")).as("dst"))
-      .distinct()
+    und.join(r1, und("src") === col("e1"), "left_semi")
+      .join(r2, und("dst") === col("e2"), "left_semi")
+      .select(col("src"), col("dst"))
   }
 
   /** Edge cap under which the induced subgraph is pulled to the driver and
@@ -208,7 +222,9 @@ object Ppr {
       var it = 0
       var delta = Double.MaxValue
       var prevCk: DataFrame = null
+      val trace = sys.env.contains("GRAFT_PPR_TRACE")
       while (it < MaxIter && delta >= Tol) {
+        val itT0 = System.nanoTime()
         val l1df = broadcast(Seq(l1m).toDF("l1"))
         val cur = joined.crossJoin(l1df)
           .select(col("entity").as("src_e"),
@@ -217,6 +233,14 @@ object Ppr {
           .join(broadcast(cur), col("src") === col("src_e"))
           .groupBy(col("dst").as("entity"))
           .agg(sum(col("score") * col("factor")).as("inflow"))
+        // ONE driver round-trip per step (was three: eager checkpoint +
+        // L1 aggregate + delta aggregate — 60 scheduled jobs over 20
+        // iterations, pure fixed cost at this frame size). The step's L1
+        // rides along as a global-window column of the state frame, the
+        // checkpoint is LAZY, and the single (delta, l1) aggregate both
+        // materializes the checkpoint and drives the convergence test.
+        val wAll = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)
         val next = joined.crossJoin(l1df)
           .select(col("entity"), col("teleport_add"),
             (col("raw") / col("l1")).as("prev"))
@@ -225,17 +249,20 @@ object Ppr {
             (coalesce(col("inflow"), lit(0.0)) + col("teleport_add"))
               .as("raw"),
             col("prev"))
-          .localCheckpoint()
-        val l1n = math.max(
-          next.agg(sum(abs(col("raw")))).head().getDouble(0), 1e-12)
-        delta = next.crossJoin(broadcast(Seq(l1n).toDF("l1")))
-          .agg(sum(abs(col("raw") / col("l1") - col("prev"))))
-          .head().getDouble(0)
+          .withColumn("l1n",
+            greatest(sum(abs(col("raw"))).over(wAll), lit(1e-12)))
+          .localCheckpoint(false)
+        val row = next.agg(
+          sum(abs(col("raw") / col("l1n") - col("prev"))).as("delta"),
+          max(col("l1n")).as("l1")).head()
+        delta = row.getDouble(0)
         if (prevCk != null) prevCk.unpersist()
         prevCk = joined
         joined = next
-        l1m = l1n
+        l1m = row.getDouble(1)
         it += 1
+        if (trace) println(f"ppr-bcast it=$it%2d delta=$delta%.3e " +
+          f"${(System.nanoTime() - itT0) / 1e9}%.3f s")
       }
       seedSet.unpersist()
       return joined.crossJoin(broadcast(Seq(l1m).toDF("l1")))
