@@ -382,6 +382,37 @@ object SparkEntry {
     "q_pack" -> ((s, dir) =>
       Sampling.packSequences(s.read.parquet(docsPath(dir)),
         maxTokens = 256, shards = 8)),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition screens need multi-line text; the synth
+      // corpus is single-line, so the query derives a deterministic
+      // 8-token-per-line view with the IDENTICAL expression in the oracle
+      // SQL — the repetition stats then have real duplicate lines to find
+      // (the corpus vocabulary is small, so 8-token lines genuinely repeat)
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nl = s.read.parquet(docsPath(dir)).select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0),
+            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
+          k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
+      TextAnalysis.repetitionStats(nl)
+    }),
+    "q_pii_scrub" -> ((s, dir) => {
+      // deterministic PII augmentation, same expression in the oracle SQL:
+      // every doc gains one email, one IPv4 and one phone; every third doc
+      // a second email — the scrub has real matches and varying counts
+      val aug = s.read.parquet(docsPath(dir)).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"),
+              lit("@corp.io"))).otherwise(lit("")),
+          lit(" at 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" call +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+      TextAnalysis.piiStats(aug)
+    }),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
         .select("doc_id", "content_md5")),
@@ -853,6 +884,67 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, term_rank
         |FROM r WHERE term_rank <= 5""".stripMargin,
+    "q_repetition" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |nl AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    range(0, greatest(CAST(ceil(len(tk) / 8.0) AS INT), 1)),
+        |    k -> array_to_string(list_slice(tk, k*8 + 1, k*8 + 8), ' ')),
+        |    chr(10)) AS text
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(text, chr(10)), x -> x <> '')) AS line
+        |  FROM nl),
+        |lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+        |la AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  round(coalesce(CAST(sum(CASE WHEN cnt > 1 THEN cnt END) AS DOUBLE)
+        |    / sum(cnt), 0), 6) AS dup_line_frac,
+        |  round(coalesce(
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) END) AS DOUBLE)
+        |    / greatest(sum(cnt * length(line)), 1), 0), 6)
+        |    AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |bt AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM nl),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |    k -> tk[k] || ' ' || tk[k+1])) AS bigram
+        |  FROM bt),
+        |bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY 1)
+        |SELECT la.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id""").stripMargin,
+    "q_pii_scrub" -> {
+      val (e, i, p) = (graft.ops.TextAnalysis.EmailRe,
+        graft.ops.TextAnalysis.Ipv4Re, graft.ops.TextAnalysis.PhoneRe)
+      s"""WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.io'
+        |      ELSE '' END ||
+        |    ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' call +1 555 01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '$e')) AS n_emails,
+        |  len(regexp_extract_all(text, '$i')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '$p')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g'))
+        |    AS redacted_md5
+        |FROM aug""".stripMargin
+    },
     "q_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

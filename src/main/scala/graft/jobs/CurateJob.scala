@@ -15,10 +15,16 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *
   * Stage DAG (each a classic large-corpus curation step):
   *
-  *   analyzed      one narrow pass: fingerprints + token/quality stats +
-  *                 language ID joined into the document row (no shuffle)
+  *   analyzed      fingerprints + token/quality stats + language ID in one
+  *                 narrow pass over (doc_id, text), plus Gopher-style
+  *                 repetition stats and PII match counts (each one
+  *                 explode/agg pass, map-side combined, joined by doc_id)
   *   filtered      quality gate: minimum token count, optional language
-  *                 allowlist — cheap filters run BEFORE any pair work
+  *                 allowlist, optional repetition screens (max duplicate-
+  *                 line fraction / max top-bigram fraction) — cheap
+  *                 filters run BEFORE any pair work. With --redact-pii the
+  *                 surviving text is scrubbed here, so every downstream
+  *                 stage (dedup shingles included) sees redacted text only
   *   exact_kept    exact dedup: one row per distinct content_md5,
   *                 keep = min doc_id (one 16-byte-key shuffle)
   *   neardup_pairs MinHash-LSH banding → exact-Jaccard verification over
@@ -31,8 +37,9 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *
   * Usage:
   *   CurateJob --work DIR --input docs.parquet [--threshold 0.7]
-  *             [--min-tokens N] [--langs en,de] [--train 80] [--val 10]
-  *             [--resume]
+  *             [--min-tokens N] [--langs en,de] [--max-dup-line-frac X]
+  *             [--max-top-bigram-frac X] [--redact-pii] [--train 80]
+  *             [--val 10] [--resume]
   */
 object CurateJob {
 
@@ -42,6 +49,9 @@ object CurateJob {
       threshold: Double = 0.7,
       minTokens: Int = 0,
       langs: Option[Set[String]] = None,
+      maxDupLineFrac: Option[Double] = None,
+      maxTopBigramFrac: Option[Double] = None,
+      redactPii: Boolean = false,
       trainPct: Int = 80,
       valPct: Int = 10,
       resume: Boolean = false)
@@ -58,6 +68,11 @@ object CurateJob {
         case "--langs" =>
           a = a.copy(langs = Some(argv(i + 1).split(",").map(_.trim).toSet))
           i += 2
+        case "--max-dup-line-frac" =>
+          a = a.copy(maxDupLineFrac = Some(argv(i + 1).toDouble)); i += 2
+        case "--max-top-bigram-frac" =>
+          a = a.copy(maxTopBigramFrac = Some(argv(i + 1).toDouble)); i += 2
+        case "--redact-pii" => a = a.copy(redactPii = true); i += 1
         case "--train" => a = a.copy(trainPct = argv(i + 1).toInt); i += 2
         case "--val" => a = a.copy(valPct = argv(i + 1).toInt); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
@@ -95,7 +110,9 @@ object CurateJob {
       // three column-algebra operators fused into ONE narrow pass over
       // (doc_id, text): fingerprints, quality stats, language ID — the
       // joins below are by doc_id against projections of the same scan,
-      // which Catalyst collapses (no exchange appears in the plan)
+      // which Catalyst collapses (no exchange appears in the plan). The
+      // repetition and PII screens each add one explode/agg pass
+      // (map-side combined) joined back by doc_id.
       docs
         .join(TextAnalysis.fingerprint(docs), "doc_id")
         .join(TextAnalysis.qualityScore(docs)
@@ -103,14 +120,32 @@ object CurateJob {
             "type_token_ratio"), "doc_id")
         .join(TextAnalysis.langId(docs).select(col("doc_id"),
           col("lang_pred").as("lang_id"), col("marker_hits")), "doc_id")
+        // left: repetitionStats has no row for docs with no non-empty
+        // lines (whitespace-only text) — those default to 0.0
+        .join(TextAnalysis.repetitionStats(docs)
+          .select("doc_id", "dup_line_frac", "top_bigram_frac"),
+          Seq("doc_id"), "left")
+        .withColumn("dup_line_frac", coalesce(col("dup_line_frac"), lit(0.0)))
+        .withColumn("top_bigram_frac",
+          coalesce(col("top_bigram_frac"), lit(0.0)))
+        .join(TextAnalysis.piiStats(docs)
+          .select(col("doc_id"),
+            (col("n_emails") + col("n_ipv4") + col("n_phones"))
+              .as("pii_count")), "doc_id")
     }
 
     val filtered = stage(io, spark, "filtered", a.resume, Seq.empty) {
-      val byTokens = analyzed.where(col("n_tokens") >= lit(a.minTokens))
-      a.langs match {
-        case Some(ls) => byTokens.where(col("lang_id").isin(ls.toSeq: _*))
-        case None => byTokens
-      }
+      var f = analyzed.where(col("n_tokens") >= lit(a.minTokens))
+      a.langs.foreach(ls => f = f.where(col("lang_id").isin(ls.toSeq: _*)))
+      a.maxDupLineFrac.foreach(x =>
+        f = f.where(col("dup_line_frac") <= lit(x)))
+      a.maxTopBigramFrac.foreach(x =>
+        f = f.where(col("top_bigram_frac") <= lit(x)))
+      // scrub AFTER the gates, BEFORE dedup: downstream stages (shingles,
+      // retention, the curated table itself) must never see raw PII
+      if (a.redactPii)
+        f = f.withColumn("text", TextAnalysis.redactPii(col("text")))
+      f
     }
 
     val exactKept = stage(io, spark, "exact_kept", a.resume, Seq.empty) {

@@ -129,6 +129,94 @@ object TextAnalysis {
       rolling.as("rolling_hash"))
   }
 
+  /** Gopher-style repetition filters over a lines-bearing text column —
+    * the standard boilerplate screens a training-data pipeline runs before
+    * anything model-based (Rae et al. 2021 §A1.1: duplicate-line fraction,
+    * duplicate-line character fraction, top n-gram fraction).
+    *
+    * Per doc: `n_lines`, `dup_line_frac` (lines occurring more than once,
+    * all occurrences, over total lines), `dup_line_char_frac` (characters
+    * in those lines over total line characters), `top_bigram_frac` (count
+    * of the most frequent token 2-gram over total 2-grams). Ratios are
+    * rounded to 6dp (engine-portable).
+    *
+    * Plan shape at scale: two narrow explode passes (lines, bigrams), each
+    * into a (doc_id, key) partial-aggregated groupBy, re-aggregated to
+    * doc granularity, then a doc_id join — all map-side-combined
+    * shuffles on (doc_id, key); nothing is collected.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val lineCounts = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\n"), l => length(l) > 0))
+          .as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+    val lineAgg = lineCounts.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_lines"),
+      round(coalesce(
+        sum(when(col("cnt") > 1, col("cnt"))).cast("double") /
+          sum(col("cnt")), lit(0.0)), 6).as("dup_line_frac"),
+      round(coalesce(
+        sum(when(col("cnt") > 1, col("cnt") * length(col("line"))))
+          .cast("double") /
+          greatest(sum(col("cnt") * length(col("line"))), lit(1)),
+        lit(0.0)), 6).as("dup_line_char_frac"))
+    val toks = wsTokens(lower(col("text")))
+    // guard: sequence(1, 0) DESCENDS in Spark and element_at(toks, 0)
+    // throws under ANSI, so 0/1-token docs must short-circuit to no bigrams
+    val bigrams = when(size(toks) >= 2, transform(
+      sequence(lit(1), size(toks) - 1),
+      k => concat_ws(" ", element_at(toks, k), element_at(toks, k + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bigramCounts = docs
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val bigramAgg = bigramCounts.groupBy(col("doc_id")).agg(
+      round(max(col("cnt")).cast("double") / sum(col("cnt")), 6)
+        .as("top_bigram_frac"))
+    lineAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** PII patterns (email / IPv4 / international-format phone) written
+    * lookaround-free so the identical regex runs on Java (Spark) and RE2
+    * (DuckDB oracle) engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d ()-]{7,}\\d"
+
+  /** PII redaction: emails, then IPv4 addresses, then phone numbers are
+    * replaced with typed placeholder tags (the order is part of the
+    * contract — emails are replaced first so their alnum-dot bodies can
+    * never be re-matched as addresses). Pure `regexp_replace` column
+    * algebra: codegen'd, one pass per pattern, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-doc PII scrub report: match counts per category (counted on the
+    * ORIGINAL text) plus the md5 of the redacted text — what a curation
+    * pipeline materializes to audit a scrub pass without storing raw PII.
+    */
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .as("n_phones"),
+      md5(redactPii(col("text")).cast("binary")).as("redacted_md5"))
+
   /** Top-k characteristic terms per document by tf-idf (smoothed:
     * tf · ln((N+1)/(df+1))) — the classic keyword/feature extractor a
     * training pipeline runs for topic tagging and quality filtering.

@@ -76,4 +76,34 @@ class CurateSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(got === want)
   }
+
+  test("curate repetition gates and pii redaction") {
+    val work = Files.createTempDirectory("graft-curate-p").toString
+    val in = s"$work/in.parquet"
+    val boiler = Seq.fill(6)("order now while stocks last").mkString("\n")
+    Seq(
+      (0L, base + " write to sales0@shop.example for a quote today"),
+      (1L, boiler), // 6 identical lines -> dup_line_frac 1.0
+      (2L, "completely different text about spark engines exchanging " +
+        "shuffle partitions across executor boundaries with careful salting")
+    ).toDF("doc_id", "text").write.parquet(in)
+
+    val io = CurateJob.run(spark, CurateJob.Args(
+      work = s"$work/w", input = in, minTokens = 3,
+      maxDupLineFrac = Some(0.5), redactPii = true))
+
+    val analyzed = io.read(spark, "analyzed")
+      .select("doc_id", "dup_line_frac", "pii_count").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(analyzed(1L)._1 === 1.0)
+    assert(analyzed(0L)._2 === 1 && analyzed(2L)._2 === 0)
+
+    val curated = io.read(spark, "curated")
+    val byId = curated.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 fails the dup-line gate; docs 0 and 2 survive, 0 redacted
+    assert(byId.keySet === Set(0L, 2L))
+    assert(byId(0L).contains("write to <EMAIL> for a quote"))
+    assert(!byId(0L).contains("sales0@"))
+  }
 }

@@ -522,4 +522,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
       "d" -> "d", "e" -> "d"))
   }
+
+  test("repetition stats: dup-line fractions and top-bigram fraction") {
+    val d = Seq(
+      (0L, "a b\na b\nc d"), // "a b" twice of 3 lines
+      (1L, "x y\nz w"),      // no duplicate lines
+      (2L, "solo")           // 1 token: no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("n_lines") === 3L)
+    assert(got(0L).getAs[Double]("dup_line_frac") === 0.666667)
+    // dup chars 2*3 ("a b" twice) over total 9 ("a b","a b","c d")
+    assert(got(0L).getAs[Double]("dup_line_char_frac") === 0.666667)
+    // tokens a b a b c d -> bigrams: "a b" x2 of 5 total
+    assert(got(0L).getAs[Double]("top_bigram_frac") === 0.4)
+    assert(got(1L).getAs[Double]("dup_line_frac") === 0.0)
+    assert(got(1L).getAs[Double]("top_bigram_frac") === 0.333333)
+    assert(got(2L).getAs[Long]("n_lines") === 1L)
+    assert(got(2L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("pii scrub: counts on original text, typed tags in redaction") {
+    val d = Seq(
+      (0L, "mail bob@x.io or web@a-b.org at 10.1.2.3 tel +1 555 0100 end"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.piiStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats(0L).getAs[Int]("n_emails") === 2)
+    assert(stats(0L).getAs[Int]("n_ipv4") === 1)
+    assert(stats(0L).getAs[Int]("n_phones") === 1)
+    assert(stats(1L).getAs[Int]("n_emails") === 0)
+    val red = d.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L) ===
+      "mail <EMAIL> or <EMAIL> at <IP> tel <PHONE> end")
+    assert(red(1L) === "no pii here at all")
+  }
 }
