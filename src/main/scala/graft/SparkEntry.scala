@@ -278,6 +278,17 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"),
           col("canonical_doc_id").cast("bigint").as("canonical_doc_id"))
     }),
+    "q_decontam" -> ((s, dir) => {
+      // decontamination screen: docs with doc_id % 97 == 0 play the
+      // benchmark/eval corpus (deterministic split, same predicate in the
+      // oracle); flag every remaining train doc sharing a 4-gram with it
+      // (4-grams catch the synth corpus's real near-dup injections — a
+      // multi-row varied-overlap contract at sf0.01)
+      val docs = s.read.parquet(docsPath(dir))
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), n = 4)
+    }),
     "q_dedup_keep_best" -> ((s, dir) => {
       // retention policy: keep the LONGEST document per near-dup cluster
       // (score = char length; ties -> min doc_id). Same cluster assignment
@@ -377,6 +388,13 @@ object SparkEntry {
       TextAnalysis.tokenCounts(s.read.parquet(docsPath(dir)))),
     "q_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(s.read.parquet(docsPath(dir)), k = 5)),
+    "q_bm25" -> ((s, dir) =>
+      // lexical retrieval: Okapi BM25 top-10 for a fixed bag-of-terms query
+      TextAnalysis.bm25(s.read.parquet(docsPath(dir)),
+        Seq("vector", "merge", "scan"), topK = 10)),
+    "q_perplexity" -> ((s, dir) =>
+      // CCNet-style quality filter: corpus-trained bigram-LM mean NLL
+      TextAnalysis.bigramPerplexity(s.read.parquet(docsPath(dir)))),
     "q_split" -> ((s, dir) =>
       Sampling.hashSplit(s.read.parquet(docsPath(dir)))),
     "q_pack" -> ((s, dir) =>
@@ -735,6 +753,28 @@ object SparkEntry {
     "q_dedup_simhash" -> exactJaccardSql(0.9),
     "q_dedup_cluster" -> dedupClusterSql(0.7),
     "q_dedup_keep_best" -> dedupKeepBestSql(0.7),
+    "q_decontam" ->
+      // 4-gram shingle CTEs (the Jaccard CTEs are 5-gram); eval = doc_id % 97
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS s
+        |  FROM toks),
+        |ev AS (
+        |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (
+        |  SELECT doc_id, len(s) AS sh_size, unnest(s) AS shingle
+        |  FROM sh WHERE doc_id % 97 <> 0),
+        |j AS (
+        |  SELECT doc_id, sh_size, count(*) AS n_overlap
+        |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / sh_size, 6) AS overlap_frac
+        |FROM j""".stripMargin,
     "q_pack" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -884,6 +924,63 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, term_rank
         |FROM r WHERE term_rank <= 5""".stripMargin,
+    "q_bm25" ->
+      // same float-op ordering as the Spark expression (left-assoc, ln of
+      // int-derived operands, rank on the 4dp-rounded score)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |    len(list_filter(t, x -> x = 'vector')) AS tf_0,
+        |    len(list_filter(t, x -> x = 'merge')) AS tf_1,
+        |    len(list_filter(t, x -> x = 'scan')) AS tf_2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+        |    round(
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+        |        / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+        |        / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+        |        / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf CROSS JOIN st)
+        |SELECT doc_id, n_tokens, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |    AS BIGINT) AS rank
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bgf AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        |    FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS cnt FROM bgf GROUP BY 1, 2),
+        |cw AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS vocab
+        |  FROM (SELECT unnest(t) AS x FROM toks)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(-ln((cnt + 1.0) / (ctx + vocab)), 6) AS nll
+        |  FROM bgf JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(nll), 4) AS avg_nll
+        |FROM scored GROUP BY 1""".stripMargin,
     "q_repetition" ->
       ("""WITH t AS (
         |  SELECT doc_id,

@@ -25,6 +25,10 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *                 filters run BEFORE any pair work. With --redact-pii the
   *                 surviving text is scrubbed here, so every downstream
   *                 stage (dedup shingles included) sees redacted text only
+  *   decontam_kept (only with --decontam-input) eval-set decontamination:
+  *                 train docs sharing any n-gram shingle with the
+  *                 benchmark corpus are dropped (broadcast eval shingles,
+  *                 no train shuffle)
   *   exact_kept    exact dedup: one row per distinct content_md5,
   *                 keep = min doc_id (one 16-byte-key shuffle)
   *   neardup_pairs MinHash-LSH banding → exact-Jaccard verification over
@@ -38,8 +42,9 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * Usage:
   *   CurateJob --work DIR --input docs.parquet [--threshold 0.7]
   *             [--min-tokens N] [--langs en,de] [--max-dup-line-frac X]
-  *             [--max-top-bigram-frac X] [--redact-pii] [--train 80]
-  *             [--val 10] [--resume]
+  *             [--max-top-bigram-frac X] [--redact-pii]
+  *             [--decontam-input eval.parquet] [--decontam-ngram 8]
+  *             [--train 80] [--val 10] [--resume]
   */
 object CurateJob {
 
@@ -52,6 +57,8 @@ object CurateJob {
       maxDupLineFrac: Option[Double] = None,
       maxTopBigramFrac: Option[Double] = None,
       redactPii: Boolean = false,
+      decontamInput: Option[String] = None,
+      decontamNgram: Int = 8,
       trainPct: Int = 80,
       valPct: Int = 10,
       resume: Boolean = false)
@@ -73,6 +80,10 @@ object CurateJob {
         case "--max-top-bigram-frac" =>
           a = a.copy(maxTopBigramFrac = Some(argv(i + 1).toDouble)); i += 2
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
+        case "--decontam-input" =>
+          a = a.copy(decontamInput = Some(argv(i + 1))); i += 2
+        case "--decontam-ngram" =>
+          a = a.copy(decontamNgram = argv(i + 1).toInt); i += 2
         case "--train" => a = a.copy(trainPct = argv(i + 1).toInt); i += 2
         case "--val" => a = a.copy(valPct = argv(i + 1).toInt); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
@@ -148,11 +159,29 @@ object CurateJob {
       f
     }
 
+    // optional eval-set decontamination (GPT-3 appendix-C n-gram overlap):
+    // drops train docs sharing any n-gram with the benchmark corpus. Runs
+    // AFTER the cheap gates, BEFORE the pair stage — contaminated docs
+    // must not survive into dedup retention where they could displace a
+    // clean representative
+    val decontamed = a.decontamInput match {
+      case Some(evalPath) =>
+        stage(io, spark, "decontam_kept", a.resume, Seq.empty) {
+          val flagged = Dedup.decontaminate(
+            filtered.select(col("doc_id"), col("text")),
+            spark.read.parquet(evalPath), n = a.decontamNgram)
+            .select(col("doc_id"))
+          // the flagged set is contamination-sized (small); AQE broadcasts
+          filtered.join(flagged, Seq("doc_id"), "left_anti")
+        }
+      case None => filtered
+    }
+
     val exactKept = stage(io, spark, "exact_kept", a.resume, Seq.empty) {
       // keep the minimum doc_id per identical content; doc counts per md5
       // are tiny, so the row_number window is one bounded-state shuffle
       val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
-      filtered.withColumn("rn", row_number().over(w))
+      decontamed.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).drop("rn")
     }
 

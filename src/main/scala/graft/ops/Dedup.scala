@@ -434,4 +434,31 @@ object Dedup {
       .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
         col("score").as("kept_score"), col("cluster_size"))
   }
+
+  /** Decontamination screen: flag training documents sharing any word
+    * n-gram with an eval/benchmark corpus (the GPT-3 appendix-C overlap
+    * rule — 13-grams there, `n` configurable here). One row per
+    * contaminated train doc: (doc_id, n_overlap, overlap_frac) where
+    * overlap_frac is the fraction of the doc's distinct shingles that
+    * also occur in the eval set.
+    *
+    * Scale shape: eval corpora are benchmark-sized, so their distinct
+    * shingle set is BROADCAST; the train corpus streams through one
+    * narrow shingle pass, a broadcast hash join, and one (doc_id)
+    * map-side-combined aggregate. The train text is never shuffled and
+    * no pair explosion exists — cost is O(train shingles) regardless of
+    * corpus size.
+    */
+  def decontaminate(train: DataFrame, evalDf: DataFrame,
+      n: Int = 8): DataFrame = {
+    val evalSh = withShingles(evalDf, n)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    shingleRowsSh(withShingles(train, n))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id"), col("sh_size"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("sh_size"), 6)
+          .as("overlap_frac"))
+  }
 }

@@ -232,6 +232,96 @@ object TextAnalysis {
     * 4dp-ROUNDED score so an engine-vs-oracle ulp difference in ln cannot
     * flip adjacent ranks (both engines see identical rounded keys).
     */
+  /** Okapi BM25 document ranking for a bag-of-terms query — the classic
+    * lexical retrieval scorer (Robertson et al., TREC-3; the Lucene
+    * `1 + (N - df + 0.5)/(df + 0.5)` non-negative idf variant).
+    *
+    * Plan shape at scale: ONE narrow pass computes per-doc length and
+    * per-term tf (column algebra over the token array — no explode, no
+    * per-term scan); corpus stats (N, avgdl, df per term) come from a
+    * single 1-row aggregate that is broadcast back with a crossJoin — no
+    * driver collect, no second shuffle. The final top-k is a
+    * TakeOrderedAndProject, not a global sort. Ranking orders by the
+    * 4dp-ROUNDED score (ties → doc_id asc) so an engine-vs-oracle ulp
+    * difference in ln cannot flip adjacent ranks.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = wsTokens(lower(col("text")))
+    val withTf = docs.select(
+      col("doc_id") +: size(toks).cast("bigint").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("bigint").as(s"tf_$i")
+        }: _*)
+    val statAggs =
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        round(score, 4).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("bigint"))
+  }
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * perplexity quality filter, with the LM trained on the corpus itself
+    * (deterministic; no external model). Per doc: `n_bigrams` and
+    * `avg_nll`, the mean add-one-smoothed negative log-likelihood
+    * −ln((C(w1w2)+1)/(C(w1)+V)) over its token bigrams, where C(w1) is
+    * the corpus context count (Σ_w2 C(w1,w2) — self-consistent with the
+    * bigram table) and V the corpus vocabulary size. Docs with <2 tokens
+    * have no bigrams and are not emitted. Per-bigram nll is rounded to
+    * 6dp before averaging so engine/oracle sums see identical addends;
+    * avg_nll is rounded to 4dp.
+    *
+    * Plan shape at scale: one explode pass → bigram stream; the count
+    * tables are vocabulary-sized (Zipf — far smaller than the corpus);
+    * context counts derive from the bigram table (no second corpus
+    * pass); V is a 1-row aggregate broadcast via crossJoin. The scoring
+    * join shuffles the bigram stream once on (w1,w2) and once on (w1) —
+    * the unavoidable cost of exact corpus-LM scoring; all aggregates are
+    * map-side partial-combined.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    // guard: sequence(1, 0) DESCENDS in Spark and element_at(toks, 0)
+    // throws under ANSI — 0/1-token docs must short-circuit to no bigrams
+    val pairs = when(size(toks) >= 2, transform(
+      sequence(lit(1), size(toks) - 1),
+      k => struct(element_at(toks, k).as("w1"),
+        element_at(toks, k + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
+    val vocab = docs.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    bg.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("cnt") + lit(1.0)) / (col("ctx") + col("vocab"))), 6)
+          .as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()

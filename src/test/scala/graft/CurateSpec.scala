@@ -77,6 +77,25 @@ class CurateSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("curate decontamination drops eval-overlapping docs") {
+    val work = Files.createTempDirectory("graft-curate-d").toString
+    val in = s"$work/in.parquet"
+    val ev = s"$work/eval.parquet"
+    corpus.write.parquet(in)
+    // benchmark doc embeds an 8-token span of `base` -> docs 0-3 (which
+    // all contain base) are contaminated; 4 is clean; 5 fails min-tokens
+    Seq((100L, "quiz says the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(ev)
+
+    val io = CurateJob.run(spark, CurateJob.Args(
+      work = s"$work/w", input = in, minTokens = 5,
+      decontamInput = Some(ev), decontamNgram = 8))
+    assert(io.exists("decontam_kept"))
+    val ids = io.read(spark, "curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(4L))
+  }
+
   test("curate repetition gates and pii redaction") {
     val work = Files.createTempDirectory("graft-curate-p").toString
     val in = s"$work/in.parquet"

@@ -523,6 +523,63 @@ class OpsSpec extends AnyFunSuite {
       "d" -> "d", "e" -> "d"))
   }
 
+  test("decontamination flags train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares 4-gram w/ eval
+      (11L, "one two three four five six seven")    // clean
+    ).toDF("doc_id", "text")
+    val evalDf = Seq(
+      (90L, "prefix alpha beta gamma delta suffix tail")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalDf, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // train 10 has 3 distinct 4-grams; exactly one ("alpha beta gamma
+    // delta") occurs in eval
+    assert(got.toSeq === Seq((10L, 1L, 0.333333)))
+  }
+
+  test("bm25 ranks by the Okapi formula with rounded-score rank order") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(d, Seq("apple", "banana"), topK = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    // hand check: N=3, avgdl=2, df(apple)=1, df(banana)=2
+    val idfA = math.log(1.0 + (3 - 1 + 0.5) / 1.5)
+    val idfB = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    def term(idf: Double, tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.0))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r4(term(idfA, 2, 3) + term(idfB, 1, 3))
+    val s2 = r4(term(idfA, 0, 2) + term(idfB, 1, 2))
+    assert(got.toSeq === Seq((1L, 3L, s1, 1L), (2L, 2L, s2, 2L)))
+  }
+
+  test("bigram perplexity: add-one smoothed corpus LM mean NLL") {
+    val d = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "x") // single token -> no bigrams -> not emitted
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_nll"))).sortBy(_._1)
+    // corpus: C(a,b)=3, C(b,a)=1 -> ctx C(a)=3, C(b)=1; V=3 (a,b,x)
+    def nll6(c: Long, ctx: Long) = BigDecimal(-math.log((c + 1.0) / (ctx + 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = nll6(3, 3); val ba = nll6(1, 1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, r4((ab + ba + ab) / 3)),
+      (2L, 1L, r4(ab))))
+  }
+
   test("repetition stats: dup-line fractions and top-bigram fraction") {
     val d = Seq(
       (0L, "a b\na b\nc d"), // "a b" twice of 3 lines
