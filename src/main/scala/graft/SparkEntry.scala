@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
 import graft.temporal.Temporal
 
@@ -308,6 +308,43 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(s.read.parquet(docsPath(dir)),
         fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .select(col("doc_id"), col("lang"))),
+    "q_source_mix" -> ((s, dir) =>
+      // domain reweighting toward a target mix: src0 -> 4%, src1 -> 2%,
+      // everything else 1% of the corpus (the corpus is 20 uniform
+      // sources, so fractions 0.8 / 0.4 / 0.2 — three distinct regimes)
+      Sampling.sourceMixSample(s.read.parquet(docsPath(dir)),
+        weights = Map("src0" -> 0.04, "src1" -> 0.02),
+        defaultWeight = 0.01)),
+    "q_line_dedup" -> ((s, dir) => {
+      // cross-document boilerplate-line scrub over the same derived
+      // 8-token-per-line view as q_repetition (the synth corpus is
+      // single-line); the corpus vocabulary is small, so lines genuinely
+      // repeat across docs and both branches (shared / kept) are exercised
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nl = s.read.parquet(docsPath(dir)).select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0),
+            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
+          k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
+      Dedup.lineDedupStats(nl, minDf = 2)
+    }),
+    "q_kmeans" -> ((s, dir) =>
+      // distributed Lloyd k-means over the embeddings table: k=8, 2 full
+      // update rounds from the deterministic smallest-vec_id seed; the
+      // DuckDB oracle re-runs both rounds from scratch in SQL
+      Clustering.kmeans(s.read.parquet(embPath(dir)), k = 8, iters = 2)),
+    "q_emb_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(embPath(dir)))),
+    "q_graph_degree" -> ((s, dir) =>
+      // degree histogram of the constructed KG (undirected simple view);
+      // oracle recomputes from the serial-oracle edge dump
+      GraphMetrics.degreeHistogram(kg(s, kgDocs(dir)).edges)),
+    "q_graph_triangles" -> ((s, dir) =>
+      // triangle census via degree-ordered wedge counting; the oracle
+      // recounts with a plain a<b<c 3-way self-join — an independent
+      // algorithm, so a green row checks the orientation logic itself
+      GraphMetrics.triangleStats(kg(s, kgDocs(dir)).edges)
+        .select("n_nodes", "n_edges", "n_triangles")),
     "q_emb_neardup" -> ((s, dir) => {
       // label-blocked exact cosine near-dup (blocking = the label column).
       // the corpus has no true near-dups, so seed deterministic scaled
@@ -802,6 +839,109 @@ object SparkEntry {
         |WHERE b < CASE WHEN lang = 'en' THEN 5000
         |               WHEN lang = 'de' THEN 2500
         |               ELSE 1000 END""".stripMargin,
+    "q_source_mix" ->
+      // keep fraction = min(1, w_s * N / n_s), identical op order and an
+      // explicit floor (Spark casts truncate, DuckDB casts round)
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_src) AS DOUBLE) AS n_total FROM counts),
+        |j AS (
+        |  SELECT d.doc_id, d.source, c.n_src,
+        |    least(1.0,
+        |      CASE d.source WHEN 'src0' THEN 0.04
+        |                    WHEN 'src1' THEN 0.02
+        |                    ELSE 0.01 END
+        |      * t.n_total / CAST(c.n_src AS DOUBLE)) AS frac
+        |  FROM documents d
+        |  JOIN counts c USING (source) CROSS JOIN tot t)
+        |SELECT doc_id, source, n_src, round(frac, 6) AS keep_frac
+        |FROM j
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 10000
+        |      < CAST(floor(frac * 10000) AS BIGINT)""".stripMargin,
+    "q_line_dedup" ->
+      // same derived 8-token-line view as q_repetition; a line is SHARED
+      // when >= 2 distinct docs contain it; kept_md5 digests the
+      // order-preserved surviving lines (md5('') when all were shared)
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |nl AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    range(0, greatest(CAST(ceil(len(tk) / 8.0) AS INT), 1)),
+        |    k -> array_to_string(list_slice(tk, k*8 + 1, k*8 + 8), ' ')),
+        |    chr(10)) AS text
+        |  FROM t),
+        |lf AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)),
+        |    x -> x <> '') AS ls
+        |  FROM nl),
+        |lines AS (
+        |  SELECT doc_id, r.pos AS pos, r.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |      i -> {'pos': i, 'line': ls[i]})) AS r
+        |    FROM lf)),
+        |ldf AS (SELECT line, count(DISTINCT doc_id) AS df
+        |        FROM lines GROUP BY 1),
+        |fl AS (SELECT l.doc_id, l.pos, l.line, (d.df >= 2) AS shared
+        |       FROM lines l JOIN ldf d USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_lines,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE NOT shared), '')) AS kept_md5
+        |FROM fl GROUP BY 1""".stripMargin,
+    "q_kmeans" -> kmeansSql(k = 8, iters = 2, dim = 64),
+    "q_emb_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, len(embedding) AS n_dims,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, n_dims, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        |  FROM b),
+        |q AS (
+        |  SELECT vec_id, n_dims, emb, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(emb, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |      ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM m)
+        |SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+        |  round(scale, 8) AS scale,
+        |  md5(array_to_string(qv, ',')) AS q_md5,
+        |  round(CASE WHEN scale > 0
+        |    THEN list_max(list_transform(range(1, n_dims + 1),
+        |      i -> abs(emb[i] - qv[i] * scale)))
+        |    ELSE 0.0 END, 6) AS linf_err
+        |FROM q""".stripMargin,
+    "q_graph_degree" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+         |  FROM read_parquet('$VerifyOutPlaceholder/_oracle_kg_edges/*.parquet')
+         |  WHERE subj <> obj),
+         |d AS (
+         |  SELECT node, count(*) AS degree
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+         |  GROUP BY 1)
+         |SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
+    "q_graph_triangles" ->
+      // independent recount with the naive a<b<c 3-way self-join — fine at
+      // oracle scale, and algorithmically disjoint from the engine's
+      // degree-ordered wedge counting
+      s"""WITH e AS (
+         |  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+         |  FROM read_parquet('$VerifyOutPlaceholder/_oracle_kg_edges/*.parquet')
+         |  WHERE subj <> obj),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |n AS (SELECT count(DISTINCT node) AS n_nodes FROM
+         |  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)),
+         |m AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_triangles FROM n, m, tri""".stripMargin,
     "q_fingerprint_rolling" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -1192,6 +1332,54 @@ object SparkEntry {
        |SELECT cluster_id, doc_id AS kept_doc_id, score AS kept_score,
        |  cluster_size
        |FROM rk WHERE rn = 1""".stripMargin
+
+  /** Unrolled Lloyd k-means in pure SQL — the independent recomputation of
+    * Clustering.kmeans's contract: seed = k smallest vec_ids (components
+    * rounded 6dp), assignment = argmin squared distance with cluster-id
+    * tie-break, update = per-dimension mean rounded 6dp (empty cluster
+    * keeps its centroid), output = final assignment with d2 rounded 4dp.
+    * The 6dp centroid rounding after every update pins both engines to
+    * identical centroids, so cross-engine ulp drift cannot compound.
+    */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, emb, cid, d2 FROM (
+         |    SELECT vec_id, emb, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM (
+         |      SELECT b.vec_id AS vec_id, b.emb AS emb, c.cid AS cid,
+         |        list_sum(list_transform(range(1, ${dim + 1}),
+         |          i -> (b.emb[i] - c.c[i]) * (b.emb[i] - c.c[i]))) AS d2
+         |      FROM base b CROSS JOIN c$n c))
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(n: Int): String =
+      s"""u$n AS (
+         |  SELECT cid, i, round(avg(emb[i]), 6) AS m
+         |  FROM a$n, range(1, ${dim + 1}) t(i)
+         |  GROUP BY 1, 2),
+         |c${n + 1} AS (
+         |  SELECT p.cid, coalesce(g.c, p.c) AS c
+         |  FROM c$n p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY i) AS c FROM u$n GROUP BY cid) g
+         |  USING (cid))""".stripMargin
+    val rounds = (0 until iters)
+      .map(n => s"${assignCte(n)},\n${updateCte(n)}")
+      .mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |    list_transform(emb, x -> round(x, 6)) AS c
+       |  FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignCte(iters)}
+       |SELECT vec_id, CAST(cid AS INT) AS cluster, round(d2, 4) AS d2
+       |FROM a$iters""".stripMargin
+  }
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>

@@ -25,6 +25,10 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *                 filters run BEFORE any pair work. With --redact-pii the
   *                 surviving text is scrubbed here, so every downstream
   *                 stage (dedup shingles included) sees redacted text only
+  *   line_scrubbed (only with --dedup-lines N) cross-document boilerplate
+  *                 removal: lines occurring in >= N distinct docs are
+  *                 stripped from every doc (C4/RefinedWeb rule); docs left
+  *                 empty drop out
   *   decontam_kept (only with --decontam-input) eval-set decontamination:
   *                 train docs sharing any n-gram shingle with the
   *                 benchmark corpus are dropped (broadcast eval shingles,
@@ -36,14 +40,17 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *                 and frequency-capped; see ops/Dedup)
   *   clusters      connected components over verified pairs → cluster id
   *   curated       keep-best retention (longest doc per cluster survives)
-  *                 + deterministic train/val/test split, partitioned by
-  *                 split so a trainer reads its fold via partition pruning
+  *                 + optional source-mix resampling toward target domain
+  *                 weights + deterministic train/val/test split,
+  *                 partitioned by split so a trainer reads its fold via
+  *                 partition pruning
   *
   * Usage:
   *   CurateJob --work DIR --input docs.parquet [--threshold 0.7]
   *             [--min-tokens N] [--langs en,de] [--max-dup-line-frac X]
   *             [--max-top-bigram-frac X] [--redact-pii]
   *             [--decontam-input eval.parquet] [--decontam-ngram 8]
+  *             [--dedup-lines N] [--source-mix web:0.5,default:0.05]
   *             [--train 80] [--val 10] [--resume]
   */
 object CurateJob {
@@ -59,9 +66,22 @@ object CurateJob {
       redactPii: Boolean = false,
       decontamInput: Option[String] = None,
       decontamNgram: Int = 8,
+      dedupLines: Option[Int] = None,
+      sourceMix: Option[(Map[String, Double], Double)] = None,
       trainPct: Int = 80,
       valPct: Int = 10,
       resume: Boolean = false)
+
+  /** "--source-mix web:0.5,books:0.3,default:0.05" → (weights, default). */
+  def parseMix(spec: String): (Map[String, Double], Double) = {
+    val kv = spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":") match {
+        case Array(k, v) => k.trim -> v.trim.toDouble
+        case _ => sys.error(s"bad --source-mix entry '$part'")
+      }
+    }.toMap
+    (kv - "default", kv.getOrElse("default", 0.0))
+  }
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -84,6 +104,10 @@ object CurateJob {
           a = a.copy(decontamInput = Some(argv(i + 1))); i += 2
         case "--decontam-ngram" =>
           a = a.copy(decontamNgram = argv(i + 1).toInt); i += 2
+        case "--dedup-lines" =>
+          a = a.copy(dedupLines = Some(argv(i + 1).toInt)); i += 2
+        case "--source-mix" =>
+          a = a.copy(sourceMix = Some(parseMix(argv(i + 1)))); i += 2
         case "--train" => a = a.copy(trainPct = argv(i + 1).toInt); i += 2
         case "--val" => a = a.copy(valPct = argv(i + 1).toInt); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
@@ -159,6 +183,22 @@ object CurateJob {
       f
     }
 
+    // optional cross-document line-level scrub (C4/RefinedWeb boilerplate
+    // rule): every line occurring in >= minDf distinct docs is stripped
+    // from every doc; docs left with no lines drop out. Runs AFTER the
+    // per-doc gates (their stats describe the original text), BEFORE
+    // decontam/dedup so shingles see scrubbed text
+    val lineScrubbed = a.dedupLines match {
+      case Some(minDf) =>
+        stage(io, spark, "line_scrubbed", a.resume, Seq.empty) {
+          filtered.drop("text").join(
+            Dedup.removeSharedLines(
+              filtered.select(col("doc_id"), col("text")), minDf),
+            "doc_id")
+        }
+      case None => filtered
+    }
+
     // optional eval-set decontamination (GPT-3 appendix-C n-gram overlap):
     // drops train docs sharing any n-gram with the benchmark corpus. Runs
     // AFTER the cheap gates, BEFORE the pair stage — contaminated docs
@@ -168,13 +208,13 @@ object CurateJob {
       case Some(evalPath) =>
         stage(io, spark, "decontam_kept", a.resume, Seq.empty) {
           val flagged = Dedup.decontaminate(
-            filtered.select(col("doc_id"), col("text")),
+            lineScrubbed.select(col("doc_id"), col("text")),
             spark.read.parquet(evalPath), n = a.decontamNgram)
             .select(col("doc_id"))
           // the flagged set is contamination-sized (small); AQE broadcasts
-          filtered.join(flagged, Seq("doc_id"), "left_anti")
+          lineScrubbed.join(flagged, Seq("doc_id"), "left_anti")
         }
-      case None => filtered
+      case None => lineScrubbed
     }
 
     val exactKept = stage(io, spark, "exact_kept", a.resume, Seq.empty) {
@@ -213,8 +253,20 @@ object CurateJob {
         "left_anti").select(col("doc_id"))
       val survivors = exactKept.join(broadcast(losers), Seq("doc_id"),
         "left_anti")
-      survivors.join(
-        Sampling.hashSplit(survivors, trainPct = a.trainPct,
+      // optional source-mix resampling toward the target domain weights —
+      // AFTER dedup retention (mix ratios should describe unique content),
+      // BEFORE the fold split
+      val mixed = a.sourceMix match {
+        case Some((weights, default)) =>
+          require(survivors.columns.contains("source"),
+            "--source-mix needs a 'source' column in the input")
+          survivors.join(
+            Sampling.sourceMixSample(survivors, weights, default)
+              .select("doc_id"), Seq("doc_id"), "left_semi")
+        case None => survivors
+      }
+      mixed.join(
+        Sampling.hashSplit(mixed, trainPct = a.trainPct,
           valPct = a.valPct).select("doc_id", "split"), "doc_id")
     }
 

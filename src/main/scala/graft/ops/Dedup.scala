@@ -461,4 +461,71 @@ object Dedup {
         round(col("n_overlap").cast("double") / col("sh_size"), 6)
           .as("overlap_frac"))
   }
+
+  /** Cross-document line-level dedup (the C4 / RefinedWeb boilerplate
+    * rule): a line is SHARED when it occurs in at least `minDf` distinct
+    * documents — navbars, cookie banners, license footers — and a curation
+    * pass strips every occurrence of shared lines from every document.
+    *
+    * Per doc (docs with no non-empty lines are not emitted):
+    * (doc_id, n_lines, n_shared_lines, kept_md5) where kept_md5 is the md5
+    * of the document's surviving lines joined with '\n' in original order
+    * (md5("") when everything was boilerplate) — the auditable digest of
+    * the scrubbed text without materializing it twice.
+    *
+    * Scale shape: one posexplode pass over the corpus; the line
+    * doc-frequency table is keyed by xxhash64(line) — 8-byte keys, line
+    * text never shuffles into the frequency table (the DuckDB oracle joins
+    * on the line text itself; identical modulo a 64-bit collision,
+    * P ≈ n²/2⁶⁵). The flag join shuffles on the same 8-byte key, then one
+    * (doc_id) map-side-combined aggregate rebuilds order with an
+    * array_sort over (pos, line) structs — no window, no driver state.
+    */
+  def lineDedupStats(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), "\n"), l => length(l) > 0))
+        .as(Seq("pos", "line")))
+    val lineDf = lines
+      .select(xxhash64(col("line")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines
+      .withColumn("h", xxhash64(col("line")))
+      .join(lineDf, Seq("h"))
+      .withColumn("shared", col("df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared_lines"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(!col("shared"), struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).cast("binary")).as("kept_md5"))
+  }
+
+  /** The scrub itself: documents with every shared line removed —
+    * (doc_id, text) with text rebuilt from the surviving lines. Same plan
+    * as lineDedupStats; docs whose lines were all shared come back with
+    * empty text (the downstream min-length screen drops them).
+    */
+  def removeSharedLines(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), "\n"), l => length(l) > 0))
+        .as(Seq("pos", "line")))
+    val lineDf = lines
+      .select(xxhash64(col("line")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines
+      .withColumn("h", xxhash64(col("line")))
+      .join(lineDf, Seq("h"))
+      .where(col("df") < minDf)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural quality metrics over a constructed knowledge graph's edge
+  * table — the health checks a KG-construction pipeline materializes after
+  * every build (degree profile to spot hub blow-ups from over-eager
+  * linking, triangle count / clustering signal to spot relation-extraction
+  * noise).
+  *
+  * All metrics treat the graph as UNDIRECTED and SIMPLE: edges are
+  * canonicalized to (least, greatest), self-loops dropped, duplicates
+  * (parallel edges, both orientations) collapsed with one distinct.
+  */
+object GraphMetrics {
+
+  /** Canonical undirected simple edge list (a < b). */
+  def canonicalEdges(edges: DataFrame, srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node undirected degree: (node, degree). One explode of both
+    * endpoints into a (node) partial-aggregated groupBy.
+    */
+  def degrees(edges: DataFrame, srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame =
+    canonicalEdges(edges, srcCol, dstCol)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Degree histogram: (degree, n_nodes) — the hub-detection profile. Two
+    * map-side-combined shuffles (node, then degree — the second over at
+    * most max-degree rows).
+    */
+  def degreeHistogram(edges: DataFrame, srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame =
+    degrees(edges, srcCol, dstCol)
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Global triangle count plus the node/edge/wedge tallies:
+    * one row (n_nodes, n_edges, n_wedges, n_triangles).
+    *
+    * Degree-ordered counting (node-iterator++ / Schank–Wagner): direct
+    * every canonical edge from its lower-(degree, id) endpoint to the
+    * higher one — a DAG in which each triangle {x ≺ y ≺ z} appears as
+    * exactly the wedge y ← x → z closed by the directed edge y → z, so a
+    * self-join on the wedge apex + one semi-join against the directed
+    * edges counts each triangle once. The apex of every wedge is its
+    * LOWEST-degree corner, so the wedge fan-out per node is bounded by
+    * out-degree ≤ O(√m) — total work O(m^1.5) independent of hub skew,
+    * the formulation that survives a power-law degree distribution at
+    * 100 TB (a naive 3-way self-join instead enumerates deg² wedges on
+    * every hub).
+    *
+    * `n_wedges` is the directed-wedge count (the candidate set the closing
+    * join probes) — the standard denominator for a global closure rate.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "subj",
+      dstCol: String = "obj"): DataFrame = {
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degrees(edges, srcCol, dstCol).persist()
+
+    // rank nodes by (degree, id); orient each edge low -> high
+    val withDeg = canon
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("degree", "deg_a"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("degree", "deg_b"), Seq("b"))
+    val aLower = (col("deg_a") < col("deg_b")) ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val directed = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("deg_a")).otherwise(col("deg_b")).as("deg_src"),
+      when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+      .persist()
+
+    // wedges from each apex: pairs (v, w) of out-neighbors with v ≺ w in
+    // the same (degree, id) order, so the closing edge is directed v -> w
+    val e1 = directed.select(col("src"), col("dst").as("v"),
+      col("deg_dst").as("deg_v"))
+    val e2 = directed.select(col("src"), col("dst").as("w"),
+      col("deg_dst").as("deg_w"))
+    val vLower = (col("deg_v") < col("deg_w")) ||
+      (col("deg_v") === col("deg_w") && col("v") < col("w"))
+    val wedges = e1.join(e2, Seq("src")).where(vLower)
+      .select(col("v"), col("w"))
+
+    val closing = directed.select(col("src").as("v"), col("dst").as("w"))
+    val nTriangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+      .count()
+    val nWedges = wedges.count()
+    val nEdges = directed.count()
+    val nNodes = deg.count()
+    directed.unpersist()
+    deg.unpersist()
+
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nWedges, nTriangles))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+  }
+}

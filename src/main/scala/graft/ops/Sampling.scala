@@ -82,6 +82,45 @@ object Sampling {
     docs.where(bucket10k(col(idCol), salt) < limit)
   }
 
+  /** Source-mix resampling: downsample each source so the kept corpus
+    * approaches a TARGET mixture — the domain-reweighting step every
+    * pretraining recipe runs (Pile/ROOTS-style static mixes). For source s
+    * with n_s rows in a corpus of N, the keep fraction is
+    * min(1, w_s · N / n_s): over-represented sources are thinned toward
+    * their target share w_s, under-represented ones are kept whole
+    * (hash sampling cannot upsample — repetition is the loader's job).
+    *
+    * Same md5-bucket mechanics as sampleByHash, so each source's kept set
+    * is deterministic and nested under fraction growth. Plan: one
+    * map-side-combined groupBy for the per-source counts (rows =
+    * #sources), a 1-row total crossJoin, then a broadcast join back — the
+    * corpus itself streams through a single narrow filter; nothing is
+    * collected.
+    *
+    * Output: the kept rows as (idCol, srcCol, n_src, keep_frac) with
+    * keep_frac rounded to 6dp for auditability.
+    */
+  def sourceMixSample(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 0.0, idCol: String = "doc_id",
+      srcCol: String = "source", salt: String = ""): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0, s"negative weight $w"))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (acc, (s, f)) => when(col(srcCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_src"))
+    val total = counts.agg(sum(col("n_src")).as("n_total"))
+    val frac = least(lit(1.0),
+      w * col("n_total").cast("double") / col("n_src").cast("double"))
+    docs.join(broadcast(counts.crossJoin(total)), Seq(srcCol))
+      // floor, not a bare cast: Spark's cast(double→bigint) truncates but
+      // DuckDB's CAST rounds — floor is the one spelling both agree on
+      .where(bucket10k(col(idCol), salt) < floor(frac * 10000).cast("bigint"))
+      .select(col(idCol), col(srcCol), col("n_src"),
+        round(frac, 6).as("keep_frac"))
+  }
+
   /** Sequence packing (concatenate-and-chop): lay the corpus out as the
     * fixed-length training sequences a pretraining data loader feeds the
     * model. Documents are concatenated in deterministic (shard, doc_id)

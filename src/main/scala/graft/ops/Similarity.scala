@@ -101,6 +101,37 @@ object Similarity {
     * The q_ann_ivf oracle (exact brute-force top-k over a corpus seeded
     * with true neighbors) checks exactly this.
     */
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× ANN-index shrink (FAISS SQ8): per vector,
+    * scale = max|xᵢ|/127 and qᵢ = round(xᵢ/scale) ∈ [−127, 127]; a
+    * zero vector quantizes to scale 0, q all-zero.
+    *
+    * Emits the audit row a pipeline materializes next to the quantized
+    * index: (vec_id, n_dims, scale, q_md5, linf_err) where q_md5 digests
+    * the comma-joined int codes (the payload without shipping it to the
+    * gate) and linf_err = max|xᵢ − qᵢ·scale| is the worst per-component
+    * reconstruction error (bounded by scale/2 — the property QuantSpec
+    * asserts). Pure column algebra over the array — codegen'd, one narrow
+    * pass, no shuffle, no UDF; scale/linf rounded (8/6dp) so the oracle
+    * compares engine-portable values.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(emb, x => abs(x)))
+    val scale = maxAbs / 127.0
+    val q = when(maxAbs > 0.0,
+      transform(emb, x => round(x / scale, 0).cast("bigint")))
+      .otherwise(transform(emb, _ => lit(0L)))
+    val linf = when(maxAbs > 0.0,
+      array_max(zip_with(emb, q, (x, qq) => abs(x - qq * scale))))
+      .otherwise(lit(0.0))
+    embeddings.select(col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      round(scale, 8).as("scale"),
+      md5(concat_ws(",", q).cast("binary")).as("q_md5"),
+      round(linf, 6).as("linf_err"))
+  }
+
   def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, roundTo: Int = 6,
       excludeId: Option[Long] = None): DataFrame = {

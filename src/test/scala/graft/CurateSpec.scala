@@ -125,4 +125,32 @@ class CurateSpec extends AnyFunSuite {
     assert(byId(0L).contains("write to <EMAIL> for a quote"))
     assert(!byId(0L).contains("sales0@"))
   }
+
+  test("curate line-scrub stage strips boilerplate and source mix thins") {
+    val docs = (0L until 40L).map { i =>
+      val src = if (i < 30) "web" else "books"
+      (i, s"shared cookie banner\nunique content line number $i with words",
+        src)
+    }.toDF("doc_id", "text", "source")
+    val work = Files.createTempDirectory("graft-curate-ls").toString
+    val in = s"$work/in.parquet"
+    docs.write.parquet(in)
+    val io = CurateJob.run(spark, CurateJob.Args(
+      work = s"$work/w", input = in,
+      dedupLines = Some(2),
+      sourceMix = Some(CurateJob.parseMix(
+        "web:0.25,books:0.25,default:0.0"))))
+
+    assert(io.exists("line_scrubbed"))
+    val curated = io.read(spark, "curated")
+      .select("doc_id", "text", "source").collect()
+    // the banner (40 docs) is gone from every surviving text
+    assert(curated.forall(!_.getString(1).contains("cookie banner")))
+    assert(curated.forall(_.getString(1).startsWith("unique content")))
+    val bySource = curated.groupBy(_.getString(2)).view.mapValues(_.length)
+    // books: frac = min(1, .25*40/10) = 1 -> all 10 kept
+    assert(bySource("books") === 10)
+    // web: frac = .25*40/30 = 1/3 of 30 ~ 10 (md5-uniform, wide tolerance)
+    assert(bySource("web") >= 3 && bySource("web") <= 20, bySource.toString)
+  }
 }
