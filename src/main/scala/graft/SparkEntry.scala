@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
-import graft.ops.{Clustering, Dedup, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis, TextClassifier}
 import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
 import graft.temporal.Temporal
 
@@ -345,6 +345,24 @@ object SparkEntry {
       // algorithm, so a green row checks the orientation logic itself
       GraphMetrics.triangleStats(kg(s, kgDocs(dir)).edges)
         .select("n_nodes", "n_edges", "n_triangles")),
+    "q_communities" -> ((s, dir) =>
+      // deterministic synchronous label propagation, 2 rounds, over the
+      // constructed KG; oracle re-runs both rounds from the serial-oracle
+      // edge dump in unrolled SQL
+      GraphMetrics.labelPropagation(kg(s, kgDocs(dir)).edges, rounds = 2)),
+    "q_logreg_langid" -> ((s, dir) =>
+      // fastText-style lang-id classifier TRAINED distributedly on the
+      // corpus itself (hashed-token logreg, 2 full-batch GD epochs, y =
+      // lang=='en'); the DuckDB oracle re-runs the whole training from
+      // scratch in unrolled SQL, so a green row checks the TRAINING math,
+      // not just the scoring pass
+      TextClassifier.trainScore(s.read.parquet(docsPath(dir)),
+        labelExpr = col("lang") === "en", dim = 64, epochs = 2)),
+    "q_dup_ngrams" -> ((s, dir) =>
+      // duplicated-substring profile (8-token stride-1 windows, df >= 2
+      // across docs); engine blocks on xxhash64(window), oracle groups on
+      // the raw window text — a green row cross-checks the hashing too
+      Dedup.dupNgramStats(s.read.parquet(docsPath(dir)), n = 8)),
     "q_emb_neardup" -> ((s, dir) => {
       // label-blocked exact cosine near-dup (blocking = the label column).
       // the corpus has no true near-dups, so seed deterministic scaled
@@ -942,6 +960,41 @@ object SparkEntry {
          |  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)),
          |m AS (SELECT count(*) AS n_edges FROM e)
          |SELECT n_nodes, n_edges, n_triangles FROM n, m, tri""".stripMargin,
+    "q_communities" -> lpaSql(rounds = 2),
+    "q_logreg_langid" -> logregSql(dim = 64, epochs = 2, lr = "1.0"),
+    "q_dup_ngrams" ->
+      // n=8 windows; the oracle keys the df table on the raw window TEXT
+      // (the engine uses xxhash64) — identical modulo a 64-bit collision
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, r.pos AS pos, r.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, greatest(len(tk) - 7, 0)),
+        |      k -> {'pos': k,
+        |            'win': array_to_string(list_slice(tk, k + 1, k + 8), ' ')}))
+        |      AS r
+        |    FROM t)),
+        |wdf AS (SELECT win, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |dup AS (SELECT w.doc_id, w.pos FROM w JOIN wdf USING (win)
+        |        WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(*) AS n_cov FROM (
+        |    SELECT DISTINCT doc_id, idx FROM (
+        |      SELECT doc_id, unnest(range(pos, pos + 8)) AS idx FROM dup))
+        |  GROUP BY 1),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY 1),
+        |base AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(n.n_windows, 0) AS n_windows,
+        |  coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(c.n_cov, 0) AS DOUBLE) / b.n_tokens, 6)
+        |  END AS dup_token_frac
+        |FROM base b LEFT JOIN nw n USING (doc_id)
+        |LEFT JOIN nd d USING (doc_id) LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "q_fingerprint_rolling" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -1379,6 +1432,100 @@ object SparkEntry {
        |${assignCte(iters)}
        |SELECT vec_id, CAST(cid AS INT) AS cluster, round(d2, 4) AS d2
        |FROM a$iters""".stripMargin
+  }
+
+  /** Unrolled synchronous label propagation in pure SQL over the
+    * serial-oracle edge dump — the independent recomputation of
+    * GraphMetrics.labelPropagation's contract: undirected simple graph,
+    * labels start as node ids, each round every node takes the most
+    * frequent neighbor label (ties → smallest label), all nodes update
+    * simultaneously.
+    */
+  private def lpaSql(rounds: Int): String = {
+    def roundCtes(i: Int): String =
+      s"""c$i AS (
+         |  SELECT und.u AS node, l.community AS community, count(*) AS c
+         |  FROM und JOIN l${i - 1} l ON l.node = und.v
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, community FROM (
+         |    SELECT node, community, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    val body = (1 to rounds).map(roundCtes).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+       |  FROM read_parquet('$VerifyOutPlaceholder/_oracle_kg_edges/*.parquet')
+       |  WHERE subj <> obj),
+       |und AS (SELECT a AS u, b AS v FROM e
+       |        UNION ALL SELECT b AS u, a AS v FROM e),
+       |l0 AS (SELECT DISTINCT u AS node, u AS community FROM und),
+       |$body
+       |SELECT node, community FROM l$rounds""".stripMargin
+  }
+
+  /** Unrolled full-batch logistic-regression TRAINING in pure SQL — the
+    * independent recomputation of TextClassifier.trainScore's contract:
+    * hashed L1-normalized bag-of-tokens features (md5-bucket mod dim, the
+    * Sampling arithmetic), all-zero init, per epoch z/p/weights each
+    * rounded 6dp (pins both engines so float-order drift cannot compound),
+    * final output (doc_id, y, score, pred).
+    */
+  private def logregSql(dim: Int, epochs: Int, lr: String): String = {
+    def epochCtes(k: Int): String =
+      s"""z$k AS (
+         |  SELECT l.id, l.y,
+         |    round((SELECT bias FROM b$k) + coalesce(sum(f.x * w$k.w), 0.0), 6)
+         |      AS z
+         |  FROM lab l LEFT JOIN f ON f.id = l.id
+         |  LEFT JOIN w$k ON w$k.b = f.b
+         |  GROUP BY 1, 2),
+         |p$k AS (SELECT id, y, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z$k),
+         |g$k AS (
+         |  SELECT f.b, sum((p.p - p.y) * f.x) AS gs
+         |  FROM f JOIN p$k p ON p.id = f.id
+         |  GROUP BY 1),
+         |w${k + 1} AS (
+         |  SELECT w.b,
+         |    round(w.w - $lr * coalesce(g.gs, 0.0) / (SELECT n FROM nn), 6) AS w
+         |  FROM w$k w LEFT JOIN g$k g USING (b)),
+         |b${k + 1} AS (
+         |  SELECT round((SELECT bias FROM b$k)
+         |    - $lr * sum(p - y) / (SELECT n FROM nn), 6) AS bias
+         |  FROM p$k)""".stripMargin
+    val body = (0 until epochs).map(epochCtes).mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT id,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS b,
+       |    count(*) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |nt AS (SELECT id, CAST(sum(cnt) AS DOUBLE) AS n FROM tf GROUP BY 1),
+       |f AS (SELECT t.id, t.b, t.cnt / n.n AS x
+       |      FROM tf t JOIN nt n USING (id)),
+       |lab AS (SELECT doc_id AS id,
+       |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |        FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+       |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f),
+       |b0 AS (SELECT 0.0 AS bias),
+       |$body,
+       |zf AS (
+       |  SELECT l.id, l.y,
+       |    round((SELECT bias FROM b$epochs)
+       |      + coalesce(sum(f.x * w$epochs.w), 0.0), 6) AS z
+       |  FROM lab l LEFT JOIN f ON f.id = l.id
+       |  LEFT JOIN w$epochs ON w$epochs.b = f.b
+       |  GROUP BY 1, 2)
+       |SELECT id AS doc_id, y,
+       |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS pred
+       |FROM zf""".stripMargin
   }
 
   private def langIdSql: String = {

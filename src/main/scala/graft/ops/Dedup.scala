@@ -528,4 +528,62 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line"))).as("text"))
   }
+
+  /** Duplicated-substring profile (the n-gram-window approximation of
+    * exact-substring dedup, Lee et al. 2022 §4.1 — the suffix-array
+    * formulation doesn't distribute; the sliding-window df formulation is
+    * what corpus reports like Gopher/Dolma actually tabulate): every
+    * stride-1 window of `n` whitespace tokens is a candidate substring; a
+    * window is DUPLICATED when its text occurs in ≥ `minDf` distinct
+    * documents; a token is duplicated when any duplicated window covers
+    * it.
+    *
+    * Per doc (every input doc emits a row; docs shorter than `n` tokens
+    * have zero windows): (doc_id, n_tokens, n_windows, n_dup_windows,
+    * dup_token_frac) with the fraction = covered tokens / n_tokens rounded
+    * 6dp — the per-doc signal a curation pass thresholds on.
+    *
+    * Scale shape: windows explode the corpus ×(tokens−n+1) but carry only
+    * (doc_id, pos, 8-byte xxhash64) into the df shuffle — window TEXT
+    * never shuffles (the DuckDB oracle groups on the raw window string
+    * instead, so a green row also cross-checks the hashing, modulo a
+    * 64-bit collision). Coverage expands only DUPLICATED windows (×n), a
+    * corpus-quality-proportional set, then one distinct + per-doc count.
+    */
+  def dupNgramStats(docs: DataFrame, n: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("tk"))
+    val wins = base
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - n),
+          k => xxhash64(concat_ws(" ", slice(col("tk"), k + 1, lit(n))))))
+          .as(Seq("pos", "h")))
+    val winDf = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dup = wins.join(winDf, Seq("h")).where(col("df") >= minDf)
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cov"))
+    val nWin = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val nDup = dup.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(nWin, Seq("doc_id"), "left")
+      .join(nDup, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_cov"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6)).as("dup_token_frac"))
+  }
 }

@@ -107,4 +107,50 @@ object GraphMetrics {
     Seq((nNodes, nEdges, nWedges, nTriangles))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.),
+    * made fully deterministic: every node starts as its own community
+    * (label = node id); each round, every node adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label; all
+    * nodes update simultaneously from the previous round's labels (no
+    * update order to be nondeterministic about). `rounds` is fixed, not
+    * run-to-convergence, so two engines always execute the same number of
+    * steps. Returns (node, community) for every node incident to an edge.
+    *
+    * Plan shape at scale: the undirected adjacency is materialized once
+    * (2m rows) and reused every round; a round is one hash join
+    * (neighbor-label lookup), one (node, label) partial-aggregated count,
+    * and one per-node top-1 — all shuffles keyed by node id, and the label
+    * frame is localCheckpoint'ed per round so the plan does not grow with
+    * the round count (the same loop hygiene as ConnectedComponents).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      srcCol: String = "subj", dstCol: String = "obj"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val und = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    try {
+      var labels = und.select(col("u").as("node")).distinct()
+        .withColumn("community", col("node"))
+      var r = 0
+      while (r < rounds) {
+        val byNode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node"))
+          .orderBy(col("c").desc, col("community").asc)
+        labels = und
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .select(col("u").as("node"), col("community"))
+          .groupBy(col("node"), col("community"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byNode))
+          .where(col("rn") === 1)
+          .select(col("node"), col("community"))
+          .localCheckpoint()
+        r += 1
+      }
+      labels
+    } finally und.unpersist()
+  }
 }

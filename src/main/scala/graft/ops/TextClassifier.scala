@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear text classification — the quality/language filter a
+  * pretraining pipeline trains on its own corpus (CCNet / fastText-style:
+  * hashed bag-of-tokens features, logistic regression, full-batch gradient
+  * descent) and then applies corpus-wide as a keep/drop screen.
+  *
+  * Everything is deterministic and engine-portable, so training itself is
+  * oracle-checkable (the DuckDB gate re-runs the same epochs from scratch
+  * in unrolled SQL):
+  *   - features: the hashing trick over whitespace tokens — bucket =
+  *     first-8-hex-digits of md5(token+salt) mod `dim` (the same
+  *     engine-portable bucket arithmetic as Sampling), value = token count
+  *     L1-normalized by the doc's token total;
+  *   - model: w ∈ R^dim, bias; init all-zero;
+  *   - epoch: full-batch GD. z = round₆(bias + Σ x_b·w_b),
+  *     p = round₆(σ(z)), grad_b = Σ_docs (p−y)·x_b / N, w ← round₆(w −
+  *     lr·grad) (bias likewise). The 6dp rounding of z, p and every
+  *     weight pins both engines to identical values each step, so
+  *     cross-engine float-sum drift cannot compound across epochs (same
+  *     discipline as Clustering's centroid rounding).
+  *
+  * Plan shape at scale: one tokenize+hash pass builds the feature table
+  * (doc, bucket, x) — 8-byte-ish rows, corpus-proportional; each epoch is
+  * one scoring pass (weights attached as a broadcast — a literal array
+  * indexed in codegen for small dim, a broadcast hash join above
+  * `LiteralDimCap`) plus one bucket-keyed partial-aggregated shuffle that
+  * emits at most `dim` gradient rows. Driver state is the weight vector
+  * (dim doubles, the k-means-centroid pattern); nothing driver-side grows
+  * with the corpus.
+  */
+object TextClassifier {
+
+  /** Above this dim the per-epoch weight lookup switches from a literal
+    * array (pure codegen, zero join) to a broadcast hash join — a literal
+    * of a million doubles would bloat the plan and the codegen constant
+    * pool, while a broadcast ships once per executor.
+    */
+  val LiteralDimCap = 4096
+
+  /** Engine-portable feature bucket (same md5 arithmetic as
+    * Sampling.bucket10k, which the DuckDB oracle reproduces exactly).
+    */
+  def bucket(tok: Column, dim: Int, salt: String): Column =
+    conv(substring(md5(concat(tok, lit(salt))), 1, 8), 16, 10)
+      .cast("bigint") % dim
+
+  /** Hashed, L1-normalized bag-of-tokens: (id, b, x) with
+    * x = count(token in bucket b) / (total tokens in doc). Docs with zero
+    * tokens simply have no rows (they score at the bias).
+    */
+  def features(docs: DataFrame, dim: Int, salt: String = "",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), bucket(col("tok"), dim, salt).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val nt = tf.groupBy(col("id")).agg(sum(col("cnt")).as("n"))
+    tf.join(nt, "id")
+      .select(col("id"), col("b"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("x"))
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (id, y, z, p) under a fixed model: z = round₆(bias + Σ x·w_b),
+    * p = round₆(σ(z)). `labels` must cover every doc (left-join keeps
+    * zero-token docs at z = bias).
+    */
+  def score(feats: DataFrame, labels: DataFrame, w: Array[Double],
+      bias: Double, forceJoin: Boolean = false): DataFrame = {
+    val xw =
+      if (w.length <= LiteralDimCap && !forceJoin) {
+        val warr = typedLit(w.toSeq)
+        feats.select(col("id"),
+          (col("x") * element_at(warr, col("b").cast("int") + 1)).as("xw"))
+      } else {
+        val spark = feats.sparkSession
+        import spark.implicits._
+        val wdf = w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("b", "w")
+        feats.join(broadcast(wdf), "b")
+          .select(col("id"), (col("x") * col("w")).as("xw"))
+      }
+    val zs = xw.groupBy(col("id")).agg(sum(col("xw")).as("zsum"))
+    labels.join(zs, Seq("id"), "left")
+      .select(col("id"), col("y"),
+        round(lit(bias) + coalesce(col("zsum"), lit(0.0)), 6).as("z"))
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+  }
+
+  /** Full-batch GD for `epochs` rounds from the all-zero model. `labels`
+    * is (id, y ∈ {0.0, 1.0}). Returns (weights, bias), every component
+    * 6dp-rounded. Persists the two inputs for the duration (each epoch is
+    * two actions over them).
+    */
+  def trainLogreg(feats: DataFrame, labels: DataFrame, dim: Int,
+      epochs: Int, lr: Double = 1.0,
+      forceJoin: Boolean = false): (Array[Double], Double) = {
+    require(epochs >= 0 && lr > 0.0, "epochs >= 0, lr > 0 required")
+    val f = feats.persist()
+    val l = labels.persist()
+    try {
+      val n = l.count().toDouble
+      require(n > 0, "no labeled docs")
+      var w = Array.fill(dim)(0.0)
+      var bias = 0.0
+      var e = 0
+      while (e < epochs) {
+        val scored = score(f, l, w, bias, forceJoin)
+          .select(col("id"), col("y"), col("p")).persist()
+        val grads = scored.join(f, "id")
+          .groupBy(col("b"))
+          .agg(sum((col("p") - col("y")) * col("x")).as("gs"))
+          .collect()
+          .map(r => r.getLong(0).toInt -> r.getDouble(1))
+          .toMap
+        val gb = scored.agg(sum(col("p") - col("y"))).first().getDouble(0)
+        scored.unpersist()
+        w = w.indices.map(b =>
+          round6(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
+        bias = round6(bias - lr * gb / n)
+        e += 1
+      }
+      (w, bias)
+    } finally { f.unpersist(); l.unpersist() }
+  }
+
+  /** Train on (docs, labelExpr) and return the corpus scored under the
+    * final model: (doc_id, y, score, pred) with score = the 6dp-rounded
+    * probability and pred = score ≥ 0.5.
+    */
+  def trainScore(docs: DataFrame, labelExpr: Column, dim: Int, epochs: Int,
+      lr: Double = 1.0, salt: String = "", idCol: String = "doc_id",
+      textCol: String = "text", forceJoin: Boolean = false): DataFrame = {
+    val feats = features(docs, dim, salt, idCol, textCol)
+    val labels = docs.select(col(idCol).as("id"),
+      labelExpr.cast("double").as("y"))
+    val (w, bias) = trainLogreg(feats, labels, dim, epochs, lr, forceJoin)
+    score(feats, labels, w, bias, forceJoin)
+      .select(col("id").as(idCol), col("y"), col("p").as("score"),
+        (col("p") >= 0.5).as("pred"))
+  }
+}

@@ -226,4 +226,43 @@ class ClusterGraphSpec extends AnyFunSuite {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
     assert(again.select("doc_id").except(kept.select("doc_id")).count() === 0)
   }
+
+  // ---------------------------------------------------- label propagation
+
+  test("labelPropagation matches the hand-run on two bridged triangles") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10; edges in mixed
+    // orientation with a duplicate to exercise canonicalization
+    val edges = Seq((1L, 2L), (3L, 1L), (2L, 3L), (10L, 11L), (12L, 10L),
+      (11L, 12L), (3L, 10L), (10L, 3L)).toDF("subj", "obj")
+    // hand-run, synchronous, ties -> smallest label:
+    // r1: 1->2, 2->1, 3->1, 10->3, 11->10, 12->10
+    // r2: 1->1, 2->1, 3->1, 10->10, 11->3, 12->3
+    val got = GraphMetrics.labelPropagation(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L))
+    // rounds = 0 is the identity labeling
+    val id0 = GraphMetrics.labelPropagation(edges, rounds = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L,
+      10L -> 10L, 11L -> 11L, 12L -> 12L))
+  }
+
+  // -------------------------------------------------------- dup n-grams
+
+  test("dupNgramStats computes per-doc duplicated-window coverage") {
+    val docs = Seq(
+      (0L, "a b c d e"),     // windows: "a b c" "b c d" "c d e"
+      (1L, "x a b c d y"),   // shares "a b c" (pos 1), "b c d" (pos 2)
+      (2L, "p q")            // shorter than the window -> zero windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(docs, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // d0: dup windows at pos 0,1 -> covered {0,1,2,3} of 5 tokens
+    assert(got(0L) === ((5L, 3L, 2L, 0.8)))
+    // d1: dup windows at pos 1,2 -> covered {1,2,3,4} of 6 tokens
+    assert(got(1L) === ((6L, 4L, 2L, 0.666667)))
+    assert(got(2L) === ((2L, 0L, 0L, 0.0)))
+  }
 }
