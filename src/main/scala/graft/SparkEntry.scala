@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
-import graft.ops.{Clustering, Dedup, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis, TextClassifier}
+import graft.ops.{Clustering, Dedup, Dsir, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis, TextClassifier}
 import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
 import graft.temporal.Temporal
 
@@ -382,6 +382,55 @@ object SparkEntry {
         .withColumn("cosine", round(Similarity.cosineKernel(col("e1"), col("e2")), 4))
         .where(col("cosine") >= 0.999)
         .select("id1", "id2", "cosine")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // generic backward as-of join: attribute every click to the user's
+      // most recent view at-or-before it. DuckDB recomputes with its
+      // NATIVE ASOF LEFT JOIN — an algorithmically independent oracle.
+      // right side deduped per (user, ts) by max event_id so the as-of
+      // tie-break is well-defined in both engines
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id"),
+          col("value"))
+        .groupBy("user_id", "vts")
+        .agg(max(col("event_id")).as("view_event_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      graft.ops.AsofJoin.backward(clicks, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "vts")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("view_value"), lit(0.0)).as("view_value"))
+    }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup over the same near-dup-seeded corpus as q_emb_neardup,
+      // but with k-means as the blocking stage (the paper's design); the
+      // oracle re-runs Lloyd + in-cluster cosine + retention from scratch
+      val base = s.read.parquet(embPath(dir)).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01)).as("embedding"))
+      Clustering.semDedup(base.union(pert), k = 8, iters = 2,
+        threshold = 0.999)
+    }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights toward the same deterministic eval split
+      // as q_decontam (doc_id % 97 == 0 plays the target domain); the
+      // oracle re-runs feature hashing + both bucket LMs from scratch
+      val docs = s.read.parquet(docsPath(dir))
+      Dsir.importanceWeights(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), dim = 256)
+    }),
+    "q_dsir_sample" -> ((s, dir) => {
+      // the resampling step: deterministic Gumbel top-50 over the weights
+      val docs = s.read.parquet(docsPath(dir))
+      Dsir.gumbelTopK(Dsir.importanceWeights(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), dim = 256), k = 50)
     }),
     // ---- similarity search ------------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -1023,6 +1072,31 @@ object SparkEntry {
         |  round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) AS cosine
         |FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
         |WHERE round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) >= 0.999""".stripMargin,
+    "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_event_id,
+        |    arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  coalesce(v.view_event_id, -1) AS view_event_id,
+        |  coalesce(v.view_value, 0.0) AS view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "q_semdedup" -> semDedupSql(k = 8, iters = 2, dim = 64,
+      threshold = 0.999),
+    "q_dsir" -> dsirSql(dim = 256),
+    "q_dsir_sample" ->
+      s"""WITH w AS (${dsirSql(dim = 256)})
+         |SELECT doc_id, n_bigrams, logw,
+         |  round(logw - ln(-ln(
+         |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'g'),
+         |      1, 8)) AS BIGINT) % 10000 + 0.5) / 10000.0)), 6) AS key
+         |FROM w
+         |ORDER BY key DESC, doc_id ASC
+         |LIMIT 50""".stripMargin,
     "q_ann_lsh" -> // brute-force exact top-k over the near-neighbor-seeded
       // corpus: green row == LSH probe recall 1.0 on true neighbors
       """WITH base AS (
@@ -1395,6 +1469,22 @@ object SparkEntry {
     * identical centroids, so cross-engine ulp drift cannot compound.
     */
   private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val defaultBase =
+      """base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)""".stripMargin
+    s"""WITH ${kmeansCtes(k, iters, dim, defaultBase)}
+       |SELECT vec_id, CAST(cid AS INT) AS cluster, round(d2, 4) AS d2
+       |FROM a$iters""".stripMargin
+  }
+
+  /** The unrolled-Lloyd CTE chain shared by kmeansSql and semDedupSql:
+    * `baseCte` must define `base(vec_id, emb)`; the chain ends at
+    * `a{iters}(vec_id, emb, cid, d2)` — the final assignment.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+      baseCte: String): String = {
     def assignCte(n: Int): String =
       s"""a$n AS (
          |  SELECT vec_id, emb, cid, d2 FROM (
@@ -1420,19 +1510,100 @@ object SparkEntry {
     val rounds = (0 until iters)
       .map(n => s"${assignCte(n)},\n${updateCte(n)}")
       .mkString(",\n")
-    s"""WITH base AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
+    s"""$baseCte,
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |    list_transform(emb, x -> round(x, 6)) AS c
        |  FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT $k)),
        |$rounds,
-       |${assignCte(iters)}
-       |SELECT vec_id, CAST(cid AS INT) AS cluster, round(d2, 4) AS d2
-       |FROM a$iters""".stripMargin
+       |${assignCte(iters)}""".stripMargin
   }
+
+  /** SemDeDup re-run from scratch: the same augmented base (scaled copies
+    * of vec_id < 20) as the engine query, the unrolled-Lloyd chain, then
+    * an in-cluster all-pairs cosine with the keep-farthest-from-centroid
+    * retention — Clustering.semDedup's exact contract (d2 rounded 4dp
+    * before comparison, cosine rounded 6dp before the threshold).
+    */
+  private def semDedupSql(k: Int, iters: Int, dim: Int,
+      threshold: Double): String = {
+    val augBase =
+      """raw AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |base AS (
+        |  SELECT vec_id, emb FROM raw
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(emb, x -> x * 1.01) AS emb
+        |  FROM raw WHERE vec_id < 20)""".stripMargin
+    s"""WITH ${kmeansCtes(k, iters, dim, augBase)},
+       |f AS (
+       |  SELECT vec_id, emb, cid, round(d2, 4) AS rd2 FROM a$iters),
+       |p AS (
+       |  SELECT id1, r1, id2, r2 FROM (
+       |    SELECT x.vec_id AS id1, x.rd2 AS r1,
+       |      y.vec_id AS id2, y.rd2 AS r2,
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> x.emb[i] * y.emb[i])) AS dot,
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> x.emb[i] * x.emb[i])) AS nx,
+       |      list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> y.emb[i] * y.emb[i])) AS ny
+       |    FROM f x JOIN f y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+       |  WHERE round(CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+       |    ELSE dot / (sqrt(nx) * sqrt(ny)) END, 6) >= $threshold),
+       |s AS (
+       |  SELECT id1 AS vec_id, count(*) AS n_dups,
+       |    max(CASE WHEN r2 > r1 OR (r2 = r1 AND id2 < id1)
+       |      THEN 1 ELSE 0 END) AS dom
+       |  FROM p GROUP BY 1)
+       |SELECT f.vec_id, CAST(f.cid AS INT) AS cluster,
+       |  CAST(coalesce(s.n_dups, 0) AS BIGINT) AS n_dups,
+       |  coalesce(s.dom, 0) = 0 AS kept
+       |FROM f LEFT JOIN s USING (vec_id)""".stripMargin
+  }
+
+  /** DSIR re-run from scratch: lowercased word bigrams, the shared
+    * md5-prefix bucket hash, add-one-smoothed bucket LMs for the target
+    * (doc_id % 97 == 0) and raw splits, λ rounded 6dp, per-doc weight
+    * rounded 4dp — Dsir.importanceWeights' exact contract.
+    */
+  private def dsirSql(dim: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+       |      range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+       |    ELSE [] END) AS bg
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) % $dim AS b,
+       |    count(*) AS cnt
+       |  FROM bg GROUP BY 1, 2),
+       |rawf AS (SELECT * FROM f WHERE doc_id % 97 <> 0),
+       |tgtf AS (SELECT * FROM f WHERE doc_id % 97 = 0),
+       |rb AS (SELECT b, sum(cnt) AS cq FROM rawf GROUP BY 1),
+       |tb AS (SELECT b, sum(cnt) AS ct FROM tgtf GROUP BY 1),
+       |nq AS (SELECT sum(cq) AS nq FROM rb),
+       |nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tb),
+       |lam AS (
+       |  SELECT rb.b, CAST(round((ln((coalesce(tb.ct, 0) + 1.0) /
+       |      (nt.nt + $dim)) - ln((rb.cq + 1.0) / (nq.nq + $dim))) *
+       |      1000000.0, 0) AS BIGINT) AS lam6
+       |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN nt CROSS JOIN nq),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |    round(sum(cnt * lam6) / 1000000.0, 4) AS logw
+       |  FROM rawf JOIN lam USING (b) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.logw, 0.0) AS logw
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
 
   /** Unrolled synchronous label propagation in pure SQL over the
     * serial-oracle edge dump — the independent recomputation of

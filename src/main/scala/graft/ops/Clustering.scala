@@ -114,6 +114,54 @@ object Clustering {
     } finally cached.unpersist()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via k-means blocking — cluster the embeddings, then
+    * compare pairs only WITHIN a cluster and drop all but one of every
+    * semantic-duplicate set. Retention follows the paper: within a
+    * duplicate pair, the point FARTHER from its centroid survives (low
+    * centroid-similarity ⇒ keeps the cluster's diversity), ties broken
+    * by smaller vec_id. Deterministic contract for the oracle:
+    *   - clusters/d2 from [[kmeans]]'s seed + `iters` Lloyd rounds, d2
+    *     rounded to 4dp before any comparison;
+    *   - a pair duplicates iff round₆(cosine) ≥ threshold;
+    *   - vec v is dropped iff some same-cluster τ-neighbor u has
+    *     (d2_u > d2_v) ∨ (d2_u = d2_v ∧ id_u < id_v).
+    * Output one row per vector: (vec_id, cluster, n_dups, kept).
+    *
+    * Plan shape at scale: the quadratic is confined to clusters — k is
+    * the blocking knob and grows with the corpus (the paper runs k=50k
+    * on LAION; cost per cluster is |c|²·dim inside one hash-join probe,
+    * cosine evaluated by the native codegen kernel at probe time). The
+    * self-join shuffles (cluster, id, emb) once on the cluster key; AQE
+    * skew-join splits oversized clusters.
+    */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cs = kmeansCentroids(embeddings, k, iters)
+    val a = assignBase(base(embeddings), cs)
+      .select(col("vec_id"), col("emb"), col("cluster"),
+        round(col("d2"), 4).as("rd2"))
+    val l = a.select(col("cluster"), col("vec_id").as("id1"),
+      col("emb").as("e1"), col("rd2").as("r1"))
+    val r = a.select(col("cluster"), col("vec_id").as("id2"),
+      col("emb").as("e2"), col("rd2").as("r2"))
+    val pairs = l.join(r, Seq("cluster"))
+      .where(col("id1") =!= col("id2") &&
+        round(Similarity.cosineKernel(col("e1"), col("e2")), 6) >=
+          lit(threshold))
+    val stats = pairs
+      .groupBy(col("id1").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(col("r2") > col("r1") ||
+          (col("r2") === col("r1") && col("id2") < col("id1")),
+          1).otherwise(0)).as("dominated"))
+    a.select(col("vec_id"), col("cluster"))
+      .join(stats, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("kept"))
+  }
+
   /** Final centroids only (for persisting a model / seeding IVF cells). */
   def kmeansCentroids(embeddings: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {

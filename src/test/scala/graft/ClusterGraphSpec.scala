@@ -88,6 +88,49 @@ class ClusterGraphSpec extends AnyFunSuite {
     assert(assigned(3L) !== assigned(2L))
   }
 
+  test("semDedup keeps the farthest-from-centroid member of a dup set") {
+    // one cluster (k=1): v0=v1 exact dups, v4 a scaled near-dup of both;
+    // v2/v3 unrelated (cos 0.8 < 0.95). centroid = mean of all five ->
+    // v0/v1 sit FARTHER from it than v4, so the paper's retention keeps
+    // v0 (tie with v1 broken by smaller id) and drops v1 and v4
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (4L, Array(0.98f, 0.199f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semDedup(e, k = 1, iters = 1, threshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L) === ((2L, true)), s"v0: ${got(0L)}")  // dominates both
+    assert(got(1L) === ((2L, false)))                    // tie -> id0 wins
+    assert(got(4L) === ((2L, false)))                    // closer to centroid
+    assert(got(2L) === ((0L, true)))
+    assert(got(3L) === ((0L, true)))
+  }
+
+  test("semDedup blocks by cluster: cross-cluster dups are not compared") {
+    // two colinear pairs far apart; with k=2/iters=2 each pair is a
+    // cluster. each vector's only tau-neighbor is its in-cluster twin
+    // (cross-blob cosine is 0), so every n_dups is exactly 1 and one
+    // vector per blob survives the tie-break
+    val e = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(10.1f, 0.0f)),
+      (2L, Array(0.0f, 10.0f)), (3L, Array(0.0f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semDedup(e, k = 2, iters = 2, threshold = 0.999)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // colinear in-blob pairs are exact cosine dups; across blobs cos = 0
+    assert(byId(0L)._2 === byId(1L)._2 && byId(2L)._2 === byId(3L)._2)
+    assert(byId(0L)._2 !== byId(2L)._2)
+    assert(got.forall(_._3 === 1L), got.mkString(","))
+    assert(got.count(_._4) === 2, got.mkString(","))
+  }
+
   // -------------------------------------------------------- graph metrics
 
   private lazy val triEdges = Seq(

@@ -618,4 +618,62 @@ class OpsSpec extends AnyFunSuite {
       "mail <EMAIL> or <EMAIL> at <IP> tel <PHONE> end")
     assert(red(1L) === "no pii here at all")
   }
+
+  test("asof backward join: inclusive, per-key, null-safe payloads") {
+    val left = Seq(("a", 1L, 100L), ("a", 5L, 101L), ("a", 10L, 102L),
+      ("b", 7L, 103L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 2L, 20L, Some("x")), ("a", 5L, 50L, None))
+      .toDF("k", "rt", "rv", "tag")
+    val got = graft.ops.AsofJoin.backward(left, right, keys = Seq("k"),
+      leftTime = "t", rightTime = "rt").collect()
+      .map(r => r.getAs[Long]("lid") ->
+        ((Option(r.getAs[java.lang.Long]("rv")).map(_.toLong),
+          Option(r.getAs[String]("tag"))))).toMap
+    assert(got(100L) === ((None, None)))            // nothing at or before 1
+    assert(got(101L) === ((Some(50L), None)))       // inclusive t=5; tag
+    // legitimately null but rv must NOT fall back to the t=2 row
+    assert(got(102L) === ((Some(50L), None)))       // latest before 10
+    assert(got(103L) === ((None, None)))            // key b has no rights
+  }
+
+  test("dsir: target-like docs score higher; short docs score zero") {
+    val target = Seq(
+      (100L, "alpha beta alpha beta gamma"),
+      (101L, "alpha beta gamma alpha")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "alpha beta alpha beta"),            // pure target bigrams
+      (1L, "zzz yyy xxx www vvv uuu"),          // never seen in target
+      (2L, "alpha beta zzz yyy"),               // mixed
+      (3L, "solo")                              // < 2 tokens -> no bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dsir.importanceWeights(raw, target, dim = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(3L) === ((0L, 0.0)))
+    assert(got(0L)._1 === 3L)
+    // target-like beats mixed beats off-target
+    assert(got(0L)._2 > got(2L)._2, got.toString)
+    assert(got(2L)._2 > got(1L)._2, got.toString)
+    assert(got(1L)._2 < 0.0, got.toString)
+  }
+
+  test("dsir gumbel top-k is deterministic and ranks by key") {
+    val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta alpha beta" else "zzz yyy xxx"))
+      .toDF("doc_id", "text")
+    val w = graft.ops.Dsir.importanceWeights(raw, target, dim = 64)
+    val a = graft.ops.Dsir.gumbelTopK(w, k = 5).collect()
+    val b = graft.ops.Dsir.gumbelTopK(w, k = 5).collect()
+    assert(a.length === 5)
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+    val keys = a.map(_.getDouble(3))
+    assert(keys.sameElements(keys.sorted.reverse), keys.toSeq.toString)
+    // weight dominates the bounded gumbel noise here: winners are
+    // mostly target-like docs
+    val winners = a.map(_.getLong(0)).toSet
+    assert(winners.count(_ % 3 == 0) >= 3, winners.toString)
+  }
 }
