@@ -383,6 +383,21 @@ object SparkEntry {
         .where(col("cosine") >= 0.999)
         .select("id1", "id2", "cosine")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // batch-vs-corpus dedup: docs with doc_id % 89 == 0 play the new
+      // ingest batch, the rest the already-indexed corpus; old x old pairs
+      // are never generated. oracle = exact all-pairs Jaccard >= 0.7
+      // restricted to pairs touching the new split (blind to the hashing),
+      // so a green row proves the incremental banding's recall
+      val sh = shingled(s, dir, 5)
+      Dedup.incrementalNearDupsSh(
+        sh.where(col("doc_id") % 89 =!= 0),
+        sh.where(col("doc_id") % 89 === 0),
+        numHashes = 64, bands = 32, threshold = 0.7)
+    }),
+    "q_len_stats" -> ((s, dir) =>
+      TextAnalysis.lengthStats(s.read.parquet(docsPath(dir)),
+        strataCol = "lang")),
     "q_asof_join" -> ((s, dir) => {
       // generic backward as-of join: attribute every click to the user's
       // most recent view at-or-before it. DuckDB recomputes with its
@@ -1072,6 +1087,24 @@ object SparkEntry {
         |  round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) AS cosine
         |FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
         |WHERE round(CAST(list_cosine_similarity(x.emb, y.emb) AS DOUBLE), 4) >= 0.999""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $exactJaccardCtes
+         |SELECT id1, id2,
+         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.7
+         |  AND (id1 % 89 = 0 OR id2 % 89 = 0)""".stripMargin,
+    "q_len_stats" ->
+      """SELECT lang AS stratum, count(*) AS n_docs,
+        |  round(avg(n), 4) AS mean_tokens,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99
+        |FROM (
+        |  SELECT lang, CAST(len(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, ts, max(event_id) AS view_event_id,

@@ -322,6 +322,27 @@ object TextAnalysis {
         round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** Per-stratum token-length distribution — the corpus report a
+    * pretraining pipeline cuts before choosing packing lengths and length
+    * filters: doc count, mean tokens, and EXACT interpolated percentiles
+    * (p50/p90/p99 — Spark's `percentile`, same linear-interpolation
+    * definition as DuckDB's `quantile_cont`, so the oracle recomputes it
+    * bit-for-bit at 4dp). One narrow scan + one partial-aggregated
+    * shuffle keyed by the stratum; exact percentiles buffer per-group
+    * values, so at extreme cardinality×rows swap in approx_percentile —
+    * the report contract stays the same.
+    */
+  def lengthStats(docs: DataFrame, strataCol: String = "lang"): DataFrame =
+    docs
+      .select(col(strataCol).as("stratum"),
+        size(wsTokens(col("text"))).cast("double").as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("mean_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"))
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()

@@ -619,6 +619,36 @@ class OpsSpec extends AnyFunSuite {
     assert(red(1L) === "no pii here at all")
   }
 
+  test("incremental near-dup pairs touch the new batch, never old x old") {
+    val mk = (id: Long, tail: String) =>
+      (id, s"the quick brown fox jumps over the lazy $tail")
+    val old = Seq(mk(0L, "dog today"), mk(1L, "dog today"), // old dup pair
+      (2L, "completely unrelated corpus text about engines and planes"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(mk(10L, "dog today"),                    // dups 0 and 1
+      (11L, "nothing like anything already present here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(old, fresh, n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 10L), (1L, 10L)), got.toString) // no (0,1)
+  }
+
+  test("lengthStats computes exact interpolated percentiles per stratum") {
+    val d = Seq(
+      (0L, "a", "en"), (1L, "a b", "en"), (2L, "a b c", "en"),
+      (3L, "a b c d e f g h i", "en"), (4L, "x y z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.lengthStats(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_docs") === 4L)
+    assert(en.getAs[Double]("mean_tokens") === 3.75)
+    assert(en.getAs[Double]("p50") === 2.5)   // interp of [1,2,3,9]
+    assert(en.getAs[Double]("p90") === 7.2)   // 3 + 0.7*(9-3)
+    assert(en.getAs[Double]("p99") === 8.82)  // 3 + 0.97*(9-3)
+    assert(got("de").getAs[Double]("p50") === 3.0)
+  }
+
   test("asof backward join: inclusive, per-key, null-safe payloads") {
     val left = Seq(("a", 1L, 100L), ("a", 5L, 101L), ("a", 10L, 102L),
       ("b", 7L, 103L)).toDF("k", "t", "lid")
