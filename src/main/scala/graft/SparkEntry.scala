@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.SpanChunker
-import graft.ops.{Clustering, Dedup, Dsir, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis, TextClassifier}
+import graft.ops.{Clustering, Dedup, Dsir, Events, GraphMetrics, Multimodal, Sampling, Similarity, TextAnalysis, TextClassifier}
 import graft.retrieval.{GraphSearch, HybridSearch, Ppr}
 import graft.temporal.Temporal
 
@@ -182,6 +182,18 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
     }),
+    // ---- event-stream analytics over events -------------------------------
+    "q_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (4h gap): one user_id shuffle shared by
+      // the window and the session rollup
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_funnel" -> ((s, dir) =>
+      // ordered-step funnel view→click→purchase; per-stage first-hit
+      // times and furthest stage per user
+      Events.funnel(s.read.parquet(s"$dir/events.parquet"))),
+    "q_retention" -> ((s, dir) =>
+      // weekly cohort retention counts (absolute epoch-week cohorts)
+      Events.retention(s.read.parquet(s"$dir/events.parquet"))),
     // ---- KG-shaped extraction ops over documents -------------------------
     "q_mentions" -> ((s, dir) => mentionsDf(s, dir)),
     "q_entities" -> ((s, dir) => {
@@ -550,6 +562,30 @@ object SparkEntry {
           lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
       TextAnalysis.piiStats(aug)
     }),
+    "q_entropy" -> ((s, dir) =>
+      // token-distribution entropy (quality/diversity filter signal)
+      TextAnalysis.tokenEntropy(s.read.parquet(docsPath(dir)))),
+    "q_normalize" -> ((s, dir) => {
+      // deterministic whitespace/control augmentation, mirrored in the
+      // oracle SQL: tab+spaces prefix, every space tripled, trailing CRLF
+      // — the normalizer has real work to undo on every row
+      val aug = s.read.parquet(docsPath(dir)).select(col("doc_id"),
+        concat(lit("\t  "), regexp_replace(col("text"), " ", "   "),
+          lit(" \r\n")).as("text"))
+      TextAnalysis.normalizeText(aug)
+    }),
+    "q_url_extract" -> ((s, dir) => {
+      // deterministic URL augmentation (mixed-case host exercises the
+      // lowercase fold; every 4th doc gains a second, shared domain)
+      val aug = s.read.parquet(docsPath(dir)).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Host"), (col("doc_id") % 50).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0,
+            lit(" and http://cdn.example.net/x"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.urlDomains(aug)
+    }),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(s.read.parquet(docsPath(dir)))
         .select("doc_id", "content_md5")),
@@ -778,6 +814,58 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS prev_us
+        |  FROM e),
+        |x AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+        |        OR us - prev_us > 14400000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS t_start_us, max(us) AS t_end_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  round(sum(value), 4) AS sum_value,
+        |  max(us) - min(us) AS duration_us
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |users AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+        |SELECT user_id,
+        |  coalesce(t1, -1) AS t_step1_us,
+        |  coalesce(t2, -1) AS t_step2_us,
+        |  coalesce(t3, -1) AS t_step3_us,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |    WHEN t2 IS NOT NULL THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM users LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+        .stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT cohort_week, week, e.user_id
+        |      FROM e JOIN f USING (user_id))
+        |GROUP BY 1, 2""".stripMargin,
     "q_mentions" -> mentionsSql,
     "q_entities" ->
       s"""WITH m AS ($mentionsSql)
@@ -1354,6 +1442,57 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin,
+    "q_entropy" ->
+      // integer micro-nats: per-term round to BIGINT, integer sum — exact
+      // across engines (see TextAnalysis.tokenEntropy)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+        |      * 1000000.0) AS BIGINT) AS h_unats
+        |  FROM tf JOIN n USING (doc_id))
+        |SELECT doc_id, any_value(n) AS n_tokens,
+        |  CAST(sum(h_unats) AS BIGINT) AS entropy_unats
+        |FROM h GROUP BY 1""".stripMargin,
+    "q_normalize" ->
+      // same augmentation expression as the Spark side; controls are
+      // stripped BEFORE the \s+ collapse on both engines, so RE2-vs-Java
+      // \s class differences (\x0b) never see a control char
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    chr(9) || '  ' || regexp_replace(text, ' ', '   ', 'g')
+        |      || ' ' || chr(13) || chr(10) AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM aug)
+        |SELECT doc_id, norm_text,
+        |  length(text) AS n_raw_chars,
+        |  length(norm_text) AS n_norm_chars
+        |FROM n""".stripMargin,
+    "q_url_extract" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    ' see https://Host', CAST(doc_id % 50 AS VARCHAR),
+        |    '.example.org/p/', CAST(doc_id AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' and http://cdn.example.net/x' ELSE '' END) AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    'https?://[A-Za-z0-9.-]+')) AS url
+        |  FROM aug)
+        |SELECT lower(regexp_replace(url, '^https?://', '')) AS domain,
+        |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY 1""".stripMargin,
     "q_entity_any" ->
       s"""WITH m AS ($mentionsSql),
          |w(wanted) AS (VALUES ('spark'), ('merge'), ('window'))

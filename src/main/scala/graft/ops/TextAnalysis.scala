@@ -343,6 +343,69 @@ object TextAnalysis {
         round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
         round(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"))
 
+  /** Token-distribution entropy per doc — the diversity signal quality
+    * filters use to drop keyword-stuffed / boilerplate pages (low entropy)
+    * without reading the text twice. H = -Σ p·ln(p) over the whitespace
+    * unigram distribution, emitted in integer MICRO-nats: each term's
+    * contribution is rounded to a bigint before the sum, so the result is
+    * exact integer arithmetic — immune to float summation order and to
+    * decimal round-at-boundary disagreements between engines (a 4dp float
+    * sum of 6dp-rounded terms lands exactly on a .5 boundary for ~1% of
+    * docs). Same two-shuffle shape as tf-idf: (doc_id, term) counts with
+    * map-side combine, then a doc_id rollup.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    tf.join(n, "doc_id")
+      .select(col("doc_id"), col("n"),
+        round(-(col("c") / col("n")) * log(col("c") / col("n")) * 1000000.0)
+          .cast("long").as("h_unats"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"),
+        sum(col("h_unats")).as("entropy_unats"))
+  }
+
+  /** Text normalization — the first stage of every web-scale text
+    * pipeline: strip control characters (C0 + DEL), collapse whitespace
+    * runs to a single space, trim. Emits the normalized text plus the
+    * raw/normalized char counts so downstream filters can gate on how
+    * much was removed. Pure codegen'd column algebra, zero shuffle.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"),
+      "[\\x00-\\x1f\\x7f]", " ")
+    val norm = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.select(col("doc_id"),
+      norm.as("norm_text"),
+      length(col("text")).as("n_raw_chars"),
+      length(norm).as("n_norm_chars"))
+  }
+
+  /** URL/domain extraction + per-domain corpus stats — the source-level
+    * view a crawl-curation pipeline filters on (domain allow/deny lists,
+    * per-domain caps). Extracts every http(s) URL, keys by lowercased
+    * host, and counts total URL occurrences and distinct docs per domain.
+    * One explode + one domain-keyed shuffle (domains are low-cardinality
+    * relative to docs, and partial aggregation collapses repeats
+    * map-side).
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+"
+
+  def urlDomains(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+          .as("url"))
+      .select(col("doc_id"),
+        lower(regexp_replace(col("url"), "^https?://", "")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
