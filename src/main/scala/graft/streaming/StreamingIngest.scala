@@ -121,6 +121,67 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("content_md5")
   }
 
+  final case class UserEvent(user_id: Long, event_ts: Timestamp,
+      event_type: String, value: Double)
+
+  final case class SessionAcc(t_start_us: Long, t_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  final case class SessionOut(user_id: Long, t_start_us: Long,
+      t_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Streaming gap-based sessionization — the continuous face of
+    * `graft.ops.Events.sessionize`: one open session per user lives in
+    * `flatMapGroupsWithState` state; an event within `gapSec` of the
+    * session end extends it, a later event closes-and-emits it, and an
+    * EventTimeTimeout fires the final close once the watermark passes
+    * end + gap (so state is O(active users), bounded by the horizon, and
+    * every session is emitted exactly once in append mode).
+    */
+  def sessionStream(spark: SparkSession, events: Dataset[UserEvent],
+      gapSec: Long = 4 * 3600,
+      lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+    def fold(uid: Long, rows: Iterator[UserEvent],
+        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(uid, s.t_start_us, s.t_end_us, s.n_events,
+          s.sum_value))
+      } else {
+        val batch = rows.toArray.sortBy(e => e.event_ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        batch.foreach { e =>
+          val t = e.event_ts.getTime * 1000L
+          cur = cur match {
+            case Some(s) if t - s.t_end_us <= gapUs =>
+              Some(SessionAcc(s.t_start_us, math.max(s.t_end_us, t),
+                s.n_events + 1, s.sum_value + e.value))
+            case Some(s) =>
+              closed ::= SessionOut(uid, s.t_start_us, s.t_end_us,
+                s.n_events, s.sum_value)
+              Some(SessionAcc(t, t, 1L, e.value))
+            case None => Some(SessionAcc(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close once event time passes the gap horizon
+          state.setTimeoutTimestamp(s.t_end_us / 1000L + gapSec * 1000L)
+        }
+        closed.reverse.iterator
+      }
+    }
+    events
+      .withWatermark("event_ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fold _)
+  }
+
   /** Wire a memory-sink query for tests/demos: mention windows to an
     * in-memory table named `tableName`.
     */

@@ -93,4 +93,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids === Set("d1", "d3"))
     } finally q.stop()
   }
+
+  test("streaming sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.UserEvent
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamingIngest.sessionStream(spark, input.toDS(),
+      gapSec = 60, lateness = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("stream_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+        UserEvent(1L, ts("2024-01-01 10:00:30"), "click", 2.0))
+      q.processAllAvailable()
+      // 270s > 60s gap: closes session 1 inline, opens session 2
+      input.addData(UserEvent(1L, ts("2024-01-01 10:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark well past session 2's end + gap so the
+      // EventTimeTimeout fires (watermark application lags one batch)
+      input.addData(UserEvent(2L, ts("2024-01-01 10:30:00"), "view", 0.5))
+      q.processAllAvailable()
+      input.addData(UserEvent(2L, ts("2024-01-01 10:40:00"), "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("stream_sess")
+        .where($"user_id" === 1L).orderBy($"t_start_us")
+        .collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(got.length === 2)
+      assert(got(0) === ((2L, 3.0))) // gap-closed
+      assert(got(1) === ((1L, 5.0))) // timeout-closed
+    } finally q.stop()
+  }
 }
