@@ -11,8 +11,14 @@ object QueryTime {
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { q =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val n = df.count()
       println(f"$q%-22s ${(System.nanoTime()-t0)/1e9}%7.2f s rows=$n")
+      // SPARK_GRAFT_EXPLAIN=1 → dump the post-AQE executed plan too
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        df.collect() // finalize THIS df's AQE plan (count() plans a new QE)
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
