@@ -48,7 +48,7 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * Usage:
   *   CurateJob --work DIR --input docs.parquet [--threshold 0.7]
   *             [--min-tokens N] [--langs en,de] [--max-dup-line-frac X]
-  *             [--max-top-bigram-frac X] [--redact-pii]
+  *             [--max-top-bigram-frac X] [--normalize] [--redact-pii]
   *             [--decontam-input eval.parquet] [--decontam-ngram 8]
   *             [--dedup-lines N] [--source-mix web:0.5,default:0.05]
   *             [--train 80] [--val 10] [--resume]
@@ -63,6 +63,7 @@ object CurateJob {
       langs: Option[Set[String]] = None,
       maxDupLineFrac: Option[Double] = None,
       maxTopBigramFrac: Option[Double] = None,
+      normalize: Boolean = false,
       redactPii: Boolean = false,
       decontamInput: Option[String] = None,
       decontamNgram: Int = 8,
@@ -99,6 +100,7 @@ object CurateJob {
           a = a.copy(maxDupLineFrac = Some(argv(i + 1).toDouble)); i += 2
         case "--max-top-bigram-frac" =>
           a = a.copy(maxTopBigramFrac = Some(argv(i + 1).toDouble)); i += 2
+        case "--normalize" => a = a.copy(normalize = true); i += 1
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
         case "--decontam-input" =>
           a = a.copy(decontamInput = Some(argv(i + 1))); i += 2
@@ -137,7 +139,13 @@ object CurateJob {
     val io = new TableIO(a.work)
 
     val analyzed = stage(io, spark, "analyzed", a.resume, Seq.empty) {
-      val raw = spark.read.parquet(a.input)
+      val raw0 = spark.read.parquet(a.input)
+      // --normalize: strip controls + collapse whitespace FIRST, so every
+      // downstream stat, gate, shingle and the curated text itself
+      // describe the normalized form (fused into the same narrow pass)
+      val raw = if (a.normalize)
+        raw0.withColumn("text", TextAnalysis.normalized(col("text")))
+      else raw0
       // langId reports the source-metadata language next to its
       // prediction; inputs without one get a null meta column
       val docs = if (raw.columns.contains("lang")) raw

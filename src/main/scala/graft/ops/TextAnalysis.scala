@@ -381,10 +381,15 @@ object TextAnalysis {
     * raw/normalized char counts so downstream filters can gate on how
     * much was removed. Pure codegen'd column algebra, zero shuffle.
     */
+  /** The normalization expression alone, for fusing into other passes
+    * (CurateJob applies it under --normalize before any analysis).
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   def normalizeText(docs: DataFrame): DataFrame = {
-    val stripped = regexp_replace(col("text"),
-      "[\\x00-\\x1f\\x7f]", " ")
-    val norm = trim(regexp_replace(stripped, "\\s+", " "))
+    val norm = normalized(col("text"))
     docs.select(col("doc_id"),
       norm.as("norm_text"),
       length(col("text")).as("n_raw_chars"),

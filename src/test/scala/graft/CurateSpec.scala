@@ -126,6 +126,28 @@ class CurateSpec extends AnyFunSuite {
     assert(!byId(0L).contains("sales0@"))
   }
 
+  test("curate --normalize collapses whitespace before any analysis") {
+    val work = Files.createTempDirectory("graft-curate-n").toString
+    val in = s"$work/in.parquet"
+    Seq(
+      (0L, "\t  " + base.replace(" ", "   ") + " \r\n"),
+      (1L, base + " until the evening")
+    ).toDF("doc_id", "text").write.parquet(in)
+
+    val io = CurateJob.run(spark, CurateJob.Args(
+      work = s"$work/w", input = in, minTokens = 3, normalize = true))
+
+    val curated = io.read(spark, "curated").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0 normalizes to exactly `base`, making it a true near-dup of
+    // doc 1 — retention keeps the longer doc 1 only, proving the dedup
+    // shingles saw the NORMALIZED text
+    assert(curated.keySet === Set(1L))
+    val analyzed = io.read(spark, "analyzed")
+      .where(col("doc_id") === 0L).select("text").head().getString(0)
+    assert(analyzed === base)
+  }
+
   test("curate line-scrub stage strips boilerplate and source mix thins") {
     val docs = (0L until 40L).map { i =>
       val src = if (i < 30) "web" else "books"
