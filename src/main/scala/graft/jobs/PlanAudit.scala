@@ -21,6 +21,8 @@ object PlanAudit {
       .appName("graft-plan-audit")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // UTC pin — same reason as QueryTime: NTZ casts in event queries
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()

@@ -6,6 +6,10 @@ object QueryTime {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // UTC pin: the NTZ→TIMESTAMP casts in the event queries are
+      // zone-dependent; every engine entry point must pin this or timings
+      // and row counts shift across machines
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

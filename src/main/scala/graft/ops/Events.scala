@@ -74,9 +74,12 @@ object Events {
     * output has no nulls.
     *
     * Shape: three filtered min-aggregations on user_id, each joined back
-    * broadcast (the per-stage survivor sets only shrink); the events scan
-    * is the only big input and each stage reads a pushed-down
-    * event_type filter.
+    * by user_id. The per-stage survivor tables have one row per user —
+    * cardinality bounded by |users|, which is NOT broadcast-safe at the
+    * 100 TB posture — so the joins carry no broadcast hint: AQE picks the
+    * strategy from observed sizes (broadcast when a stage's survivors are
+    * genuinely small, shuffle otherwise). The events scan is the only big
+    * input and each stage reads a pushed-down event_type filter.
     */
   def funnel(events: DataFrame,
              steps: Seq[String] = Seq("view", "click", "purchase"))
@@ -88,11 +91,11 @@ object Events {
     val s1 = e.where(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
     val s2 = e.where(col("event_type") === steps(1))
-      .join(broadcast(s1), "user_id")
+      .join(s1, "user_id")
       .where(col("us") >= col("t1"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
     val s3 = e.where(col("event_type") === steps(2))
-      .join(broadcast(s2), "user_id")
+      .join(s2, "user_id")
       .where(col("us") >= col("t2"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
     users
@@ -116,8 +119,9 @@ object Events {
     * that week. Integer arithmetic end-to-end — exact under the oracle.
     *
     * Two shuffles: min-per-user (map-side combined), then the
-    * (cohort, offset) count-distinct. The first-event table re-joins
-    * broadcast.
+    * (cohort, offset) count-distinct. The first-event table is one row
+    * per user (unbounded), so its re-join carries no broadcast hint —
+    * AQE decides from the observed size.
     */
   def retention(events: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
@@ -127,7 +131,7 @@ object Events {
     val e = events.select(col("user_id"), wk.as("week"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
-    e.join(broadcast(first), "user_id")
+    e.join(first, "user_id")
       .select(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"),
         col("user_id"))

@@ -353,11 +353,16 @@ object TextAnalysis {
     * filters use to drop keyword-stuffed / boilerplate pages (low entropy)
     * without reading the text twice. H = -Σ p·ln(p) over the whitespace
     * unigram distribution, emitted in integer MICRO-nats: each term's
-    * contribution is rounded to a bigint before the sum, so the result is
+    * contribution is rounded to a bigint before the sum, so the SUM is
     * exact integer arithmetic — immune to float summation order and to
     * decimal round-at-boundary disagreements between engines (a 4dp float
     * sum of 6dp-rounded terms lands exactly on a .5 boundary for ~1% of
-    * docs). Same two-shuffle shape as tf-idf: (doc_id, term) counts with
+    * docs). Residual cross-engine dependency: the per-term value itself
+    * still goes through Math.log vs DuckDB's ln before its round — a
+    * 1-ulp divergence flips h_unats by 1 only when -(c/n)·ln(c/n)·1e6
+    * falls within ~1e-10 of a .5 boundary, which no (c, n) on the test
+    * corpora does, but it is not impossible on an adversarial corpus.
+    * Same two-shuffle shape as tf-idf: (doc_id, term) counts with
     * map-side combine, then a doc_id rollup.
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {

@@ -158,7 +158,12 @@ object StreamingIngest {
           val t = e.event_ts.getTime * 1000L
           cur = cur match {
             case Some(s) if t - s.t_end_us <= gapUs =>
-              Some(SessionAcc(s.t_start_us, math.max(s.t_end_us, t),
+              // a late cross-batch event admitted by the watermark can
+              // PRECEDE the open session's start — extend both endpoints,
+              // or the emitted start/duration diverges from the batch
+              // Events.sessionize result on the same data
+              Some(SessionAcc(math.min(s.t_start_us, t),
+                math.max(s.t_end_us, t),
                 s.n_events + 1, s.sum_value + e.value))
             case Some(s) =>
               closed ::= SessionOut(uid, s.t_start_us, s.t_end_us,
@@ -169,8 +174,18 @@ object StreamingIngest {
         }
         cur.foreach { s =>
           state.update(s)
-          // close once event time passes the gap horizon
-          state.setTimeoutTimestamp(s.t_end_us / 1000L + gapSec * 1000L)
+          // close once event time passes the gap horizon. Clamped above
+          // the current watermark: when the configured lateness exceeds
+          // gapSec, a late-but-admitted event can end a session so far
+          // behind the watermark that end + gap is not past it — Spark
+          // rejects a timeout at-or-below the watermark with an
+          // IllegalStateException, killing the query. The clamp only
+          // fires in that regime (the session is then closed at the next
+          // possible instant, which is also when its gap has provably
+          // expired in event time).
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max(wm + 1L, s.t_end_us / 1000L + gapSec * 1000L))
         }
         closed.reverse.iterator
       }
