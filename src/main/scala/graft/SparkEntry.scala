@@ -258,9 +258,17 @@ object SparkEntry {
       graft.sources.JsonlCorpus.stats(corpus)
     }),
     // ---- dedup suite ------------------------------------------------------
-    "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(s.read.parquet(docsPath(dir)))
-        .select("content_md5", "dup_count", "canonical_doc_id")),
+    "q_dedup_exact" -> ((s, dir) => {
+      // the synth corpus has no EXACT dups at the verify SF (only
+      // near-dups), which made this row a vacuous 0-row match — seed a
+      // deterministic dup set (identical predicate in the oracle) so the
+      // grouping, count and canonical-min logic are actually exercised
+      val docs = s.read.parquet(docsPath(dir)).withColumn("text",
+        when(col("doc_id") % 101 === 0, lit("identical seeded body"))
+          .otherwise(col("text")))
+      Dedup.exact(docs)
+        .select("content_md5", "dup_count", "canonical_doc_id")
+    }),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardSh(shingled(s, dir, 5), threshold = 0.8)),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -407,6 +415,7 @@ object SparkEntry {
         sh.where(col("doc_id") % 89 === 0),
         numHashes = 64, bands = 32, threshold = 0.7)
     }),
+    "q_curate_pipeline" -> ((s, dir) => curateRow(s, dir)),
     "q_len_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(s.read.parquet(docsPath(dir)),
         strataCol = "lang")),
@@ -928,9 +937,13 @@ object SparkEntry {
          |WHERE company_name IS NOT NULL
          |GROUP BY 1, 2, 3""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_md5, count(*) AS dup_count,
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 101 = 0
+        |    THEN 'identical seeded body' ELSE text END AS text
+        |  FROM documents)
+        |SELECT md5(text) AS content_md5, count(*) AS dup_count,
         |  min(doc_id) AS canonical_doc_id
-        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+        |FROM aug GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -960,6 +973,7 @@ object SparkEntry {
     "q_dedup_simhash" -> exactJaccardSql(0.9),
     "q_dedup_cluster" -> dedupClusterSql(0.7),
     "q_dedup_keep_best" -> dedupKeepBestSql(0.7),
+    "q_curate_pipeline" -> curatePipelineSql,
     "q_decontam" ->
       // 4-gram shingle CTEs (the Jaccard CTEs are 5-gram); eval = doc_id % 97
       s"""WITH toks AS (
@@ -1546,6 +1560,70 @@ object SparkEntry {
         |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn <= 3""".stripMargin)
 
+  /** The COMPOSED curation pipeline as one driver row: a PII-augmented
+    * corpus runs through the real CurateJob entry point (analyze →
+    * token/lang gates → PII redaction → exact dedup → MinHash-LSH near-dup
+    * → CC clusters → keep-best retention → hash split), and the row is the
+    * final curated table. Each constituent op already has its own green
+    * row; THIS row evidences the composition — stage ORDERING and the
+    * hand-offs between stages. The PII augmentation makes ordering
+    * observable: redaction runs before exact dedup, so docs differing only
+    * in their doc_id-derived PII collapse to one representative — a stale
+    * pre-redaction hash (or dedup-before-redact) would keep both and the
+    * row would go red. The DuckDB oracle re-runs the entire composition
+    * from scratch in one WITH-RECURSIVE chain (token gate, marker-argmax
+    * language gate, regex redaction, md5 exact dedup, all-pairs 5-gram
+    * Jaccard — blind to the engine's LSH — recursive transitive closure,
+    * longest-doc retention, md5 split buckets).
+    */
+  /** Constant body for every doc_id % 101 == 0 in the curate row: these
+    * docs differ pre-redaction ONLY in their doc_id-derived PII, so they
+    * become exact duplicates precisely when redaction runs before exact
+    * dedup (the corpus itself has no exact dups at the verify SF — this
+    * seeds real work for that stage AND makes the ordering observable).
+    * Marker-heavy English, 32 tokens, so the seeded docs survive both
+    * gates.
+    */
+  private val CurateConstText =
+    "the pipeline writes the table of rows and the scan reads the index " +
+      "of chunks to the store in the merge of the stream and the batch " +
+      "to the sink in order"
+
+  private def curateRow(s: SparkSession, dir: String): DataFrame = {
+    val aug = s.read.parquet(docsPath(dir)).withColumn("text",
+      concat(
+        when(col("doc_id") % 101 === 0, lit(CurateConstText))
+          .otherwise(col("text")),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.io"))).otherwise(lit("")),
+        lit(" at 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" call +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_curate_row_${math.abs(dir.hashCode)}")
+    // fresh work dir per invocation: the row must evidence a full run of
+    // the composed pipeline, not a resume of a previous query's snapshots
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (base.exists()) rm(base)
+    val inPath = new java.io.File(base, "input").toString
+    aug.write.mode("overwrite").parquet(inPath)
+    val io = graft.jobs.CurateJob.run(s, graft.jobs.CurateJob.Args(
+      work = new java.io.File(base, "work").toString,
+      input = inPath, threshold = 0.7, minTokens = 30,
+      langs = Some(Set("en")), redactPii = true,
+      trainPct = 80, valPct = 10))
+    io.read(s, "curated")
+      .select(col("doc_id"), col("n_tokens"), col("lang_id"),
+        col("content_md5"), col("split"))
+  }
+
   private val annBruteSql: String =
     """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
       |           FROM embeddings WHERE vec_id = 0)
@@ -1871,7 +1949,14 @@ object SparkEntry {
        |FROM zf""".stripMargin
   }
 
-  private def langIdSql: String = {
+  /** Marker-count SQL fragments over a column named `padded` (the
+    * space-padded lowercased token string) — shared by the langId oracle
+    * and the composed curate oracle. Returns (total-hits expression,
+    * argmax-language expression); the argmax sorts (score, lang) structs
+    * ascending and takes the last — the same tie-break as the Spark side's
+    * greatest(struct(score, lang)).
+    */
+  private def langPredSqlExprs: (String, String) = {
     val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
       val s = words.map { w =>
         s"CAST((length(padded) - length(replace(padded, ' $w ', ''))) / ${w.length + 2} AS INT)"
@@ -1882,8 +1967,11 @@ object SparkEntry {
     val structs = scores.map { case (lang, s) =>
       s"{'score': $s, 'lang': '$lang'}"
     }.mkString(", ")
-    // argmax by (score, lang): sort the struct list ascending, take last —
-    // same tie-break as the Spark side's greatest(struct(score, lang))
+    (totalExpr, s"list_sort([$structs])[-1].lang")
+  }
+
+  private def langIdSql: String = {
+    val (totalExpr, predExpr) = langPredSqlExprs
     s"""WITH p AS (
        |  SELECT doc_id, lang AS lang_meta,
        |    ' ' || array_to_string(list_filter(
@@ -1891,7 +1979,101 @@ object SparkEntry {
        |      || ' ' AS padded
        |  FROM documents)
        |SELECT doc_id, lang_meta, $totalExpr AS marker_hits,
-       |  list_sort([$structs])[-1].lang AS lang_pred
+       |  $predExpr AS lang_pred
        |FROM p""".stripMargin
+  }
+
+  /** The composed CurateJob oracle — every stage re-run from scratch in one
+    * WITH-RECURSIVE chain over the identically PII-augmented corpus:
+    * token-count gate (>= 30) and marker-argmax language gate (= 'en') on
+    * the PRE-redaction text, then redaction, then md5 exact dedup (min
+    * doc_id survives), then exact all-pairs 5-gram Jaccard >= 0.7 (blind
+    * to the engine's MinHash banding), recursive transitive closure,
+    * longest-redacted-text retention (min-doc_id tie-break), md5-bucket
+    * train/val/test split. Any stage-ordering divergence in the engine
+    * (e.g. dedup keyed on a stale pre-redaction hash) breaks the compare.
+    */
+  private def curatePipelineSql: String = {
+    val (_, predExpr) = langPredSqlExprs
+    val (e, i, p) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re,
+      TextAnalysis.PhoneRe)
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 101 = 0 THEN '$CurateConstText' ELSE text END
+       |      || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com' ||
+       |      CASE WHEN doc_id % 3 = 0
+       |        THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.io'
+       |        ELSE '' END ||
+       |      ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |      CAST(doc_id % 100 AS VARCHAR) || ' call +1 555 01' ||
+       |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+       |  FROM documents),
+       |an AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |      AS n_tokens,
+       |    $predExpr AS lang_id
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      ' ' || array_to_string(list_filter(
+       |        string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')
+       |        || ' ' AS padded
+       |    FROM aug)),
+       |filt AS (
+       |  SELECT doc_id, n_tokens, lang_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+       |      '$p', '<PHONE>', 'g') AS text
+       |  FROM an WHERE n_tokens >= 30 AND lang_id IN ('en')),
+       |ex AS (
+       |  SELECT doc_id, n_tokens, lang_id, text, md5(text) AS content_md5
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |          ORDER BY doc_id) AS rnx
+       |        FROM filt)
+       |  WHERE rnx = 1),
+       |ctoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM ex),
+       |csh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 4, 0) + 1),
+       |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+       |  FROM ctoks),
+       |csized AS (SELECT doc_id, s, len(s) AS n FROM csh),
+       |cinv AS (SELECT doc_id, n, unnest(s) AS shingle FROM csized),
+       |cpairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+       |    any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  FROM cinv a JOIN cinv b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |np AS (
+       |  SELECT id1, id2 FROM cpairs
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.7),
+       |und AS (SELECT id1 AS a, id2 AS b FROM np
+       |        UNION SELECT id2, id1 FROM np),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.id),
+       |cl AS (
+       |  SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |rk AS (
+       |  SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY length(ex.text) DESC, cl.doc_id ASC) AS rnb
+       |  FROM cl JOIN ex ON cl.doc_id = ex.doc_id),
+       |losers AS (SELECT doc_id FROM rk WHERE rnb > 1)
+       |SELECT doc_id, n_tokens, lang_id, content_md5,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % 100 AS b
+       |  FROM ex)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
   }
 }

@@ -226,10 +226,18 @@ object CurateJob {
     }
 
     val exactKept = stage(io, spark, "exact_kept", a.resume, Seq.empty) {
-      // keep the minimum doc_id per identical content; doc counts per md5
-      // are tiny, so the row_number window is one bounded-state shuffle
+      // content_md5 is RECOMPUTED from the CURRENT text: the analyzed-stage
+      // fingerprint describes the original input, but --redact-pii and
+      // --dedup-lines rewrite `text`, and exact dedup must key on what
+      // actually survives — two docs differing only in PII are exact
+      // duplicates after redaction, and the stale pre-redaction hash would
+      // silently keep both. Keep the minimum doc_id per identical content;
+      // doc counts per md5 are tiny, so the row_number window is one
+      // bounded-state shuffle.
+      val keyed = decontamed.withColumn("content_md5",
+        md5(col("text").cast("binary")))
       val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
-      decontamed.withColumn("rn", row_number().over(w))
+      keyed.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).drop("rn")
     }
 

@@ -30,7 +30,11 @@ object PlanAudit {
 
     val skipPipeline = Set("kg_edges", "kg_nodes", "kg_mentions", "kg_chunks",
       "kg_ppr", "kg_nodes_dist", "kg_ppr_dist",
-      "q_media_features") // eager pipeline builds — audited via probe
+      "q_media_features", // eager pipeline builds — audited via probe
+      // multi-stage snapshotted job: the returned df is just a parquet
+      // read of the final table; its constituent ops are audited via
+      // their own rows (q_dedup_*, q_quality, q_lang_id, q_split)
+      "q_curate_pipeline")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skipPipeline(name)) {
         try {

@@ -40,6 +40,22 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Per-pair probability that (bands × rows) MinHash banding MISSES a
+    * pair with true Jaccard j: (1 − j^rows)^bands, rows = numHashes/bands.
+    * The LSH-then-verify entry points promise their output EQUALS the
+    * exact all-pairs result, which holds iff this is negligible at the
+    * verification threshold — the gate configs keep it under 1e-4 there
+    * (64 hashes × 32 bands at j = 0.7: ≈ 4e-10), asserted as an OpsSpec
+    * property so a future (r, b) change cannot silently turn the equality
+    * contract into corpus luck (the pre-round-3 16×4 banding had a ~1.2%
+    * per-pair miss at 0.7).
+    */
+  def bandingMissProb(j: Double, numHashes: Int, bands: Int): Double = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    math.pow(1.0 - math.pow(j, rows.toDouble), bands.toDouble)
+  }
+
   /** Exact dedup: group by md5(text); canonical = min(doc_id); emits only
     * groups with >1 member (the duplicate sets).
     */

@@ -88,6 +88,41 @@ class ClusterGraphSpec extends AnyFunSuite {
     assert(assigned(3L) !== assigned(2L))
   }
 
+  test("kmeans/semDedup survive k larger than the vector count") {
+    // the empty-cluster-heavy regime: k = 10 over 5 rows of which only 3
+    // are distinct vectors. Seeding yields one centroid per ROW (duplicate
+    // rows become duplicate centroids; the LIMIT caps at the row count),
+    // assignment tie-breaks identical distances by cluster id, and every
+    // emptied/never-filled cluster keeps its centroid through the updates
+    // instead of dividing by zero.
+    val e = Seq(
+      // nonzero dup pairs: cosine(0-vector, anything) is 0 by the
+      // zero-norm rule, which would NOT count as a semantic dup
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),     // dup pair A
+      (2L, Seq(10.0f, -10.0f)), (3L, Seq(10.0f, -10.0f)), // dup pair B
+      (4L, Seq(-5.0f, -5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeans(e, k = 10, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === 5)
+    // identical vectors tie on every distance -> same (lowest) cluster id
+    assert(got(0L) === got(1L))
+    assert(got(2L) === got(3L))
+    assert(got(4L) != got(0L) && got(4L) != got(2L))
+    // deterministic across runs
+    val again = Clustering.kmeans(e, k = 10, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === got)
+    // semDedup in the same regime: each dup pair collapses to one kept
+    // vector, the singleton survives
+    val sd = Clustering.semDedup(e, k = 10, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sd.count(_._2) === 3, sd.toString)
+    assert(sd(4L), "the singleton must be kept")
+    assert(sd(0L) ^ sd(1L), "exactly one of dup pair A survives")
+    assert(sd(2L) ^ sd(3L), "exactly one of dup pair B survives")
+  }
+
   test("semDedup keeps the farthest-from-centroid member of a dup set") {
     // one cluster (k=1): v0=v1 exact dups, v4 a scaled near-dup of both;
     // v2/v3 unrelated (cos 0.8 < 0.95). centroid = mean of all five ->

@@ -706,4 +706,42 @@ class OpsSpec extends AnyFunSuite {
     val winners = a.map(_.getLong(0)).toSet
     assert(winners.count(_ % 3 == 0) >= 3, winners.toString)
   }
+
+  test("minhash banding recall is provable at the gate thresholds") {
+    // analytic: the LSH-then-verify equality contract needs a negligible
+    // per-pair miss probability AT the verification threshold. The gate
+    // configs (q_dedup_minhash / q_dedup_incremental / CurateJob: 64
+    // hashes x 32 bands, verify >= 0.7; q_dedup_simhash recall floor:
+    // verify >= 0.9) all clear 1e-4 by orders of magnitude, while the
+    // pre-round-3 16-band config demonstrably did NOT (~1.2% miss) -- this
+    // assertion pins the (r, b) choice so a future edit cannot silently
+    // turn the DuckDB equality rows into corpus luck.
+    assert(Dedup.bandingMissProb(0.7, 64, 32) < 1e-4)
+    assert(Dedup.bandingMissProb(0.9, 64, 32) < 1e-4)
+    assert(Dedup.bandingMissProb(0.7, 64, 16) > 1e-2)
+
+    // empirical: a corpus DENSE in borderline pairs (true Jaccard sweeping
+    // ~0.42..1.0 across per-pair-private vocabularies, straddling the 0.7
+    // gate) must yield EXACTLY the all-pairs ground truth through the
+    // banded path -- including the pairs sitting just above the threshold,
+    // the ones a recall-deficient banding drops first.
+    val borderline = (0 until 24).flatMap { k =>
+      val base = (0 until 40).map(i => s"p${k}w$i")
+      val m = 24 + (k % 9) * 2 // 24, 26, .. 40: J from ~0.42 to 1.0
+      val b = base.take(m) ++ (0 until (40 - m)).map(i => s"p${k}x$i")
+      Seq((2L * k, base.mkString(" ")), (2L * k + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val want = Dedup.ngramJaccard(borderline, n = 3, threshold = 0.7,
+      maxShingleDf = 1000000L)
+      .select("id1", "id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.minhashLshExact(borderline, n = 3, numHashes = 64,
+      bands = 32, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    // the corpus really does straddle the gate: pairs just above AND just
+    // below the threshold both exist
+    assert(want.exists { case (_, _, j) => j >= 0.7 && j < 0.78 }, want)
+    assert(want.nonEmpty && want.size < 24)
+  }
 }

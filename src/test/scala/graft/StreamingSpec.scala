@@ -126,4 +126,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(1) === ((1L, 5.0))) // timeout-closed
     } finally q.stop()
   }
+
+  test("stream sessionize matches batch sessionize, incl. a backward-extending late event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.UserEvent
+    val input = MemoryStream[UserEvent]
+    val sessions = StreamingIngest.sessionStream(spark, input.toDS(),
+      gapSec = 120, lateness = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("stream_parity")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[UserEvent]
+    def add(evs: UserEvent*): Unit = {
+      all ++= evs; input.addData(evs); q.processAllAvailable()
+    }
+    try {
+      add(UserEvent(1L, ts("2024-01-01 10:10:00"), "view", 1.0))
+      // LATE cross-batch event: 30s BEFORE the open session's start, well
+      // inside the 10-minute lateness -> must merge AND extend t_start_us
+      // backward (the round-3 bug kept the old start)
+      add(UserEvent(1L, ts("2024-01-01 10:09:30"), "click", 2.0))
+      // watermark pushers on another user, far enough ahead that user 1's
+      // session times out (watermark application lags one batch)
+      add(UserEvent(2L, ts("2024-01-01 10:40:00"), "view", 0.5))
+      add(UserEvent(2L, ts("2024-01-01 10:50:00"), "view", 0.5))
+      val streamed = spark.table("stream_parity")
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      // batch ground truth over the SAME events (user 2's open tail
+      // sessions are not yet emitted by the stream -> subset compare)
+      val batch = graft.ops.Events.sessionize(
+        all.toSeq.zipWithIndex.map { case (e, i) =>
+          (i.toLong, e.event_ts, e.user_id, e.event_type, e.value)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapSec = 120)
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"stream emitted a session batch disagrees with:\n stream=$streamed\n batch=$batch")
+      // and the late-event session specifically: starts at the LATE 10:09:30
+      val u1 = streamed.filter(_._1 == 1L)
+      assert(u1.size === 1)
+      assert(u1.head._2 === ts("2024-01-01 10:09:30").getTime * 1000L)
+      assert(u1.head._4 === 2L && u1.head._5 === 3.0)
+    } finally q.stop()
+  }
 }
