@@ -25,14 +25,19 @@ import graft.ingest.SpanChunker
   * timeout carcass with zero numbers): this main must emit a parseable
   * JSON line under ANY box weather. Three layers, outermost first:
   *   - a hard wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
-  *     1500 s — comfortably inside the observed driver window: the last
-  *     rc=0 driver run totalled 1678 s INCLUDING sbt compile) bounds the
-  *     whole main; the scaling loop stops early when the remaining budget
-  *     cannot fit another pair (estimated from the worst pair so far) and
-  *     emits with the pairs it has;
-  *   - every child JVM gets a deadline (the remaining budget); a child
-  *     that hangs past it is destroyed and the loop finalizes instead of
-  *     blocking forever;
+  *     1800 s — the floor of VERDICT r3's recommended 30-35 min range,
+  *     still well inside the driver window that killed the r3 bench only
+  *     after 60-90 min) bounds the whole main; the scaling loop stops
+  *     early when the remaining budget cannot fit another pair (estimated
+  *     from the worst pair so far) and emits with the pairs it has;
+  *   - every child JVM gets a deadline; the LO child's deadline is a
+  *     FRACTION of the remaining budget (a weather-inflated 1-core run
+  *     must never starve the 4-core child — r4 run e lost its only pair
+  *     exactly that way: lo consumed 930 s, hi got 553 s and missed);
+  *     a child past its deadline is destroyed, and while NO pair has
+  *     landed yet the loop halves the corpus and tries again (floor
+  *     12.5k docs) — a small-corpus pair with its size in the artifact
+  *     beats a zero-pair carcass;
   *   - a JVM shutdown hook prints the current snapshot line to stdout if
   *     the normal print was never reached (driver kill mid-run), and the
   *     snapshot is re-teed to SPARK_GRAFT_BENCH_OUT after the queries part
@@ -104,7 +109,7 @@ object Bench {
     * above decides whether to retry or finalize).
     */
   private def pipelineInChildJvm(cores: Int, nDocs: Long,
-      deadlineSec: Double): Double = {
+      deadlineSec: Double, passes: Int): Double = {
     val cp = System.getProperty("java.class.path")
     require(cp != null && cp.contains("classes"),
       s"bench needs a materialized classpath (run via scripts/run_main.sh " +
@@ -130,50 +135,72 @@ object Bench {
     val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "20g")
     val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$heap",
       s"-XX:ActiveProcessorCount=$cores", "-cp", cp,
-      "graft.Bench", "pipeline", cores.toString, nDocs.toString))
+      "graft.Bench", "pipeline", cores.toString, nDocs.toString,
+      passes.toString))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    // stdout goes to a temp FILE, not a pipe: the parent only reads it
+    // after waitFor, and an undrained pipe would deadlock a child that
+    // writes past the pipe buffer before printing its timing line
+    val outF = java.io.File.createTempFile("graft-bench-child-", ".out")
+    pb.redirectOutput(outF)
     val proc = pb.start()
     currentChild = proc
-    val finished =
-      proc.waitFor(math.max(deadlineSec, 1.0).toLong * 1000L,
-        TimeUnit.MILLISECONDS)
-    if (!finished) {
-      proc.destroyForcibly()
-      proc.waitFor(10, TimeUnit.SECONDS)
-      sys.error(f"child bench JVM (cores=$cores) exceeded its " +
-        f"$deadlineSec%.0f s deadline and was killed")
-    }
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    currentChild = null
-    val rc = proc.exitValue()
-    out.linesIterator.collectFirst {
-      case l if l.startsWith("PIPELINE_SEC ") => l.stripPrefix("PIPELINE_SEC ").toDouble
-    }.getOrElse(sys.error(
-      s"child bench JVM (cores=$cores) exited rc=$rc without a timing line"))
+    try {
+      val finished =
+        proc.waitFor(math.max(deadlineSec, 1.0).toLong * 1000L,
+          TimeUnit.MILLISECONDS)
+      if (!finished) {
+        proc.destroyForcibly()
+        proc.waitFor(10, TimeUnit.SECONDS)
+        throw new DeadlineExceeded(f"child bench JVM (cores=$cores) " +
+          f"exceeded its $deadlineSec%.0f s deadline and was killed")
+      }
+      val out = java.nio.file.Files.readString(outF.toPath)
+      currentChild = null
+      val rc = proc.exitValue()
+      out.linesIterator.collectFirst {
+        case l if l.startsWith("PIPELINE_SEC ") => l.stripPrefix("PIPELINE_SEC ").toDouble
+      }.getOrElse(sys.error(
+        s"child bench JVM (cores=$cores) exited rc=$rc without a timing line"))
+    } finally outF.delete()
   }
+
+  /** Thrown when a child outlives its deadline. Deliberately NOT retried
+    * at the same size: a deadline kill means the box weather (or the
+    * corpus size) made this child too slow, and an identical immediate
+    * retry burns the same deadline again — the loop's corpus-degradation
+    * path is the correct response.
+    */
+  private final class DeadlineExceeded(msg: String)
+    extends RuntimeException(msg)
 
   /** A failed child (OOM-killed by a co-tenant burst, transient runtime
     * fault) retries once in another fresh JVM — loudly, on stderr — IF the
-    * remaining budget allows; otherwise the failure propagates and the
-    * loop finalizes with the pairs it has. NOT a silent in-JVM fallback:
-    * every accepted number still comes from an identical fresh pinned
-    * child.
+    * remaining budget allows and the failure was NOT a deadline kill (see
+    * [[DeadlineExceeded]]); otherwise the failure propagates and the loop
+    * degrades or finalizes. NOT a silent in-JVM fallback: every accepted
+    * number still comes from an identical fresh pinned child.
+    *
+    * `capFrac` bounds the child's deadline to that fraction of the
+    * remaining budget so one inflated child cannot starve its pair
+    * partner (1.0 = use all that remains).
     */
   private def childWithRetry(cores: Int, nDocs: Long,
-      budgetSec: Double): Double = {
-    def remaining = budgetSec - elapsedSec
-    try pipelineInChildJvm(cores, nDocs, remaining)
+      budgetSec: Double, passes: Int, capFrac: Double = 1.0): Double = {
+    def deadline = (budgetSec - elapsedSec) * capFrac
+    try pipelineInChildJvm(cores, nDocs, deadline, passes)
     catch {
-      case e: Throwable if remaining > 60.0 =>
+      case e: Throwable
+          if !e.isInstanceOf[DeadlineExceeded] && deadline > 60.0 =>
         System.err.println(
           s"[bench] child (cores=$cores) failed once: ${e.getMessage}; retrying")
-        pipelineInChildJvm(cores, nDocs, remaining)
+        pipelineInChildJvm(cores, nDocs, deadline, passes)
     }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 3 && args(0) == "pipeline") {
+    if ((args.length == 3 || args.length == 4) && args(0) == "pipeline") {
       // child-JVM mode: warm up then measure at one parallelism level.
       // BOTH passes share one session: a stop-and-recreate between them
       // left the second context's AQE cached-stage rebuild racing against
@@ -184,15 +211,33 @@ object Bench {
       // measured pass starts from a clean block manager.
       val cores = args(1).toInt
       val nDocs = args(2).toLong
+      // measured passes after warm-up (min is reported): 1 for the
+      // guaranteed-to-land first pair, 2 for later pairs where one JVM
+      // spawn buying two clean-window samples is worth the extra pass.
+      // The same-JVM distortion measured in r2/r3 was CROSS-LEVEL (the
+      // second level inheriting the first level's tenured garbage); within
+      // one level a repeat pass is the same workload on a heap the first
+      // pass already sized — measured equal-or-faster, never the 2x
+      // pathology. (A fixed 2-pass child was tried and backfired: under
+      // the 2026-08-18 extreme-weather window the doubled lo child pushed
+      // the hi child past its deadline and the run recorded ZERO pairs.)
+      val passes = if (args.length == 4) args(3).toInt else 1
       val s = session(cores)
       try {
-        // warm-up covers JIT/codegen/session init; nDocs/15 (~10k docs at
+        // warm-up covers JIT/codegen/session init; nDocs/15 (~7k docs at
         // the default) is enough to compile the whole DAG's hot paths —
         // round-3 used nDocs/10, trimmed to cut per-pair cost (VERDICT #2)
+        def dropCaches(): Unit = {
+          s.sharedState.cacheManager.clearCache()
+          s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        }
         pipelineRun(s, cores, math.max(nDocs / 15, 500L))
-        s.sharedState.cacheManager.clearCache()
-        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        println(f"PIPELINE_SEC ${pipelineRun(s, cores, nDocs)}%.3f")
+        dropCaches()
+        val best = (1 to math.max(passes, 1)).map { i =>
+          if (i > 1) dropCaches()
+          pipelineRun(s, cores, nDocs)
+        }.min
+        println(f"PIPELINE_SEC $best%.3f")
       } finally s.stop()
       return
     }
@@ -200,13 +245,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // scaling docs: large enough that the embarrassingly-parallel extraction
     // stages dominate driver/scheduling latency — the measurement stands in
-    // for a multi-executor cluster where per-stage fixed costs amortize
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+    // for a multi-executor cluster where per-stage fixed costs amortize.
+    // 100k (was 150k in r3): clean lo ≈ 100–120 s, so a pair fits ~3x into
+    // the post-queries budget even under the measured worst co-tenant
+    // slowdown (2.3x, 2026-08-18 afternoon: 427 docs/s/core vs the 983
+    // clean floor) — the r3 value left only one pair's headroom under that
+    // weather and the artifact finalized with zero pairs
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     // part selection for iterating: all | queries | scaling
     val part = sys.env.getOrElse("SPARK_GRAFT_BENCH_PART", "all")
-    // hard wall-clock budget for this WHOLE main (see the contract above)
+    // hard wall-clock budget for this WHOLE main (see the contract above);
+    // 1800 s = the 30-min floor of VERDICT r3's recommended 30-35 min range
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     // N-vs-4N core pair. Default 1 vs 4: this sandbox is a shared box whose
     // MEMORY BANDWIDTH does not grow with thread count (unlike a real
     // cluster, where each executor brings its own memory channels), so the
@@ -245,13 +296,27 @@ object Bench {
     // printed by a shutdown hook if the driver kills us first. ----------
     val factor = coresHi.toDouble / coresLo
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    @volatile var queriesDone = Seq.empty[(String, Double)]
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    // corpus size actually measured: starts at benchDocs, halved by the
+    // degradation path until the first pair lands (all recorded pairs use
+    // one size — min-of-pairs is meaningless across sizes)
+    @volatile var docsUsed = benchDocs
+    // (name, seconds, load1-at-start): the load rides along so a judge can
+    // see which query timings a co-tenant burst inflated (run g 2026-08-18:
+    // kg_nodes_dist read 37.6 s INSIDE a burst vs ~5 s clean — without the
+    // load column that is indistinguishable from a regression)
+    @volatile var queriesDone = Seq.empty[(String, Double, Double)]
+    // (lo_sec, hi_sec, load1-at-lo-start, load1-at-hi-start): per-CHILD
+    // loads (post-load-gate) — r4 run h showed a per-pair load reading
+    // cannot attribute a burst to the child it actually hit
+    val pairs =
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
     @volatile var complete = false
     val printed = new AtomicBoolean(false)
 
     def snapshotLine(): String = {
-      val qs = queriesDone.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      val qs = queriesDone.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val qLoads = queriesDone.map { case (k, _, ld) => "\"" + k + f"\":$ld%.2f" }
         .mkString("{", ",", "}")
       val total = queriesDone.map(_._2).filter(_ >= 0).sum
       val ps = pairs.synchronized(pairs.toVector)
@@ -261,21 +326,23 @@ object Bench {
         else (ps.map(_._1).min, ps.map(_._2).min)
       val efficiency = if (tHi > 0) (tLo / tHi) / factor else -1.0
       val pairsJson = ps
-        .map { case (l, h, _) => f"[$l%.3f,$h%.3f]" }.mkString("[", ",", "]")
+        .map { case (l, h, _, _) => f"[$l%.3f,$h%.3f]" }.mkString("[", ",", "]")
       val pairsLoad = ps
-        .map { case (_, _, ld) => f"$ld%.2f" }.mkString("[", ",", "]")
+        .map { case (_, _, ll, lh) => f"[$ll%.2f,$lh%.2f]" }
+        .mkString("[", ",", "]")
       val scaling =
-        f"""{"pipeline_docs":$benchDocs,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
+        f"""{"pipeline_docs":$docsUsed,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""t_lo_sec":$tLo%.3f,"t_hi_sec":$tHi%.3f,""" +
-        f""""docs_per_sec_lo":${if (tLo > 0) benchDocs / tLo else -1.0}%.1f,""" +
-        f""""docs_per_sec_hi":${if (tHi > 0) benchDocs / tHi else -1.0}%.1f,""" +
+        f""""docs_per_sec_lo":${if (tLo > 0) docsUsed / tLo else -1.0}%.1f,""" +
+        f""""docs_per_sec_hi":${if (tHi > 0) docsUsed / tHi else -1.0}%.1f,""" +
         f""""speedup":${if (tHi > 0) tLo / tHi else -1.0}%.3f,""" +
         f""""core_factor":$factor%.1f,""" +
         f""""efficiency":$efficiency%.3f,"reps":${ps.size},""" +
         f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
         f""""complete":$complete,""" +
         f""""pairs_lo_hi_sec":$pairsJson%s,"pairs_load1":$pairsLoad%s}"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","scaling":$scaling%s}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,""" +
+        f""""queries_load1":$qLoads%s,"sf":"$sfDir%s","scaling":$scaling%s}"""
     }
     def tee(): Unit = {
       val line = snapshotLine()
@@ -308,13 +375,16 @@ object Bench {
     // meaning per-query work (round-1 attribution artifact).
     if (part != "scaling") {
       val spark = session(cpus)
-      val build = "kg_pipeline_build" ->
-        timeSec(SparkEntry.warmKg(spark, sfDir))
+      val ld0 = load1
+      val build = ("kg_pipeline_build",
+        timeSec(SparkEntry.warmKg(spark, sfDir)), ld0)
       queriesDone = Seq(build)
-      val shBuild = "dedup_shingle_build" ->
-        timeSec(SparkEntry.warmShingles(spark, sfDir))
+      val ldSh = load1
+      val shBuild = ("dedup_shingle_build",
+        timeSec(SparkEntry.warmShingles(spark, sfDir)), ldSh)
       queriesDone = queriesDone :+ shBuild
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val ld = load1
         val sec = try {
           timeSec(fn(spark, sfDir).count())
         } catch {
@@ -322,7 +392,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
-        queriesDone = queriesDone :+ (name -> sec)
+        queriesDone = queriesDone :+ ((name, sec, ld))
       }
       spark.stop()
     }
@@ -337,24 +407,74 @@ object Bench {
     if (part != "queries") {
       var stop = false
       var worstPairSec = 0.0
+      // Bounded load-gate: a child spawned into a co-tenant burst measures
+      // the burst, not the engine (r4 run h 2026-08-18: the second hi child
+      // launched at load1=14.4 and the run recorded eff 0.739 where clean
+      // windows on the same code record 0.87+). Waiting a burst out costs
+      // seconds; measuring through it costs the whole pair. Before each
+      // child spawn, while load1 > 3.0, sleep 15 s — bounded per child
+      // (90 s), across the loop (300 s total), and never into the headroom
+      // the pair-entry check verified (reserveSec). The 3.0 threshold also
+      // absorbs our own residual load: a just-exited 4-core child reads
+      // ~4 on load1 and decays under 3 within ~30 s, so the gate doubles
+      // as a self-decay wait and every child starts from a comparable box.
+      var gateWaitTotal = 0.0
+      def loadGate(reserveSec: Double): Unit = {
+        var waited = 0.0
+        var ld = load1
+        while (ld > 3.0 && waited < 90.0 && gateWaitTotal < 300.0 &&
+            budgetSec - elapsedSec > reserveSec + 30.0) {
+          Thread.sleep(15000L)
+          waited += 15.0; gateWaitTotal += 15.0
+          ld = load1
+        }
+        if (waited > 0)
+          System.err.println(f"[bench] load-gate waited $waited%.0fs " +
+            f"(load1 now $ld%.1f, total gated $gateWaitTotal%.0fs)")
+      }
       while (pairs.size < repsMax && !stop) {
         val remaining = budgetSec - elapsedSec
         // require head-room for one more pair: the worst pair observed so
-        // far (or a floor for the first), plus slack for spawn overhead
+        // far (or a floor for the first), plus slack for spawn overhead.
+        // NO min() with `remaining` here — that made `remaining < needed`
+        // unsatisfiable whenever a pair was expensive, so the loop started
+        // a doomed pair and burned the tail of the budget on a child the
+        // deadline then killed (observed: 208 s wasted on r4 run d).
+        // Until a TWO-pass pair has been timed, the only observed pair is
+        // the single-pass first one — the next pair runs two measured
+        // passes per child, so scale its estimate up
         val needed =
-          if (pairs.isEmpty) 120.0 else math.min(worstPairSec * 1.15, remaining)
+          if (pairs.isEmpty) 120.0
+          else if (pairs.size == 1) worstPairSec * 1.9
+          else worstPairSec * 1.15
         if (remaining < needed) {
           System.err.println(f"[bench] budget: $remaining%.0fs left < " +
             f"$needed%.0fs needed for another pair — finalizing with " +
             f"${pairs.size} pairs")
           stop = true
         } else {
-          val ld = load1
           val pairT0 = System.nanoTime()
           try {
-            val lo = childWithRetry(coresLo, benchDocs, budgetSec)
-            val hi = childWithRetry(coresHi, benchDocs, budgetSec)
-            pairs.synchronized { pairs += ((lo, hi, ld)) }
+            // first pair: single-pass children, so SOME pair lands inside
+            // the budget under any weather; later pairs: two passes per
+            // child — a cheap second clean-window sample per spawn.
+            // Until a pair has landed, the lo child may use at most 40% of
+            // the remaining budget: if weather inflates it past that, it is
+            // killed EARLY — while there is still budget to degrade the
+            // corpus and land a smaller pair (r4 run e: an uncapped lo
+            // burned 930 s and the run recorded ZERO pairs). After the
+            // first pair the entry check already guarantees worst-pair
+            // headroom, so the cap only needs to stop a pathological hang
+            // (lo wall share of a clean pair is ~60-65% — 70% is headroom).
+            val passes = if (pairs.isEmpty) 1 else 2
+            val loCap = if (pairs.isEmpty) 0.40 else 0.70
+            loadGate(needed)
+            val ldLo = load1
+            val lo = childWithRetry(coresLo, docsUsed, budgetSec, passes, loCap)
+            loadGate(needed * 0.4)
+            val ldHi = load1
+            val hi = childWithRetry(coresHi, docsUsed, budgetSec, passes)
+            pairs.synchronized { pairs += ((lo, hi, ldLo, ldHi)) }
             worstPairSec =
               math.max(worstPairSec, (System.nanoTime() - pairT0) / 1e9)
             tee()
@@ -364,16 +484,28 @@ object Bench {
               losSorted(1) / losSorted(0) <= 1.07
             System.err.println(f"[bench] rep ${pairs.size}: lo=$lo%.1fs " +
               f"hi=$hi%.1fs eff-so-far=$eff%.3f loStable=$loStable " +
-              f"load1=$ld%.1f t=$elapsedSec%.0fs")
+              f"load1=[$ldLo%.1f,$ldHi%.1f] t=$elapsedSec%.0fs")
             stop = pairs.size >= repsFloor && eff >= effTarget && loStable
           } catch {
             case e: Throwable =>
-              // a pair lost to a deadline or double child failure: record
-              // nothing for it and finalize — a parsed artifact with the
-              // pairs we have beats dying inside the loop
-              System.err.println(s"[bench] pair ${pairs.size + 1} failed " +
-                s"(${e.getMessage}); finalizing with ${pairs.size} pairs")
-              stop = true
+              val remainingNow = budgetSec - elapsedSec
+              if (pairs.isEmpty && docsUsed > 12500L && remainingNow > 120.0) {
+                // no pair has landed and the budget still has room: halve
+                // the corpus and try again — a 12.5k-doc pair with its size
+                // recorded in the artifact beats a zero-pair carcass
+                docsUsed = math.max(docsUsed / 2, 12500L)
+                System.err.println(s"[bench] pair failed (${e.getMessage}); " +
+                  s"degrading corpus to $docsUsed docs and retrying " +
+                  f"($remainingNow%.0fs left)")
+              } else {
+                // a pair lost to a deadline or double child failure with a
+                // pair already recorded (or no budget/floor left): finalize
+                // — a parsed artifact with the pairs we have beats dying
+                // inside the loop
+                System.err.println(s"[bench] pair ${pairs.size + 1} failed " +
+                  s"(${e.getMessage}); finalizing with ${pairs.size} pairs")
+                stop = true
+              }
           }
         }
       }
