@@ -419,7 +419,6 @@ object Bench {
     // hits both levels symmetrically)
     if (part != "queries") {
       var stop = false
-      var worstPairSec = 0.0
       // Bounded load-gate: a child spawned into a co-tenant burst measures
       // the burst, not the engine (r4 run h 2026-08-18: the second hi child
       // launched at load1=14.4 and the run recorded eff 0.739 where clean
@@ -447,26 +446,34 @@ object Bench {
       }
       while (pairs.size < repsMax && !stop) {
         val remaining = budgetSec - elapsedSec
-        // require head-room for one more pair: the worst pair observed so
-        // far (or a floor for the first), plus slack for spawn overhead.
-        // NO min() with `remaining` here — that made `remaining < needed`
-        // unsatisfiable whenever a pair was expensive, so the loop started
-        // a doomed pair and burned the tail of the budget on a child the
-        // deadline then killed (observed: 208 s wasted on r4 run d).
-        // Until a multi-pass pair has been timed, the only observed pair is
-        // the single-pass first one — the next pair runs two lo passes and
-        // three hi passes, so scale its estimate up
+        // Head-room estimate for one more pair. Estimated from the BEST
+        // child times seen so far, not the worst pair wall: a weather-
+        // inflated pair must not talk the loop out of trying again once a
+        // cleaner window could fit (r4 run j: a 2x-inflated 326 s lo child
+        // pushed the worst-pair estimate to 1690 s and the run finalized
+        // with a single junk-ratio pair while 1042 s of budget sat unused).
+        // The optimism is safe BECAUSE a pair has already landed by then:
+        // the artifact is teed after every pair, children carry deadlines
+        // bounded by the remaining budget, so a doomed extra pair can only
+        // waste budget that was going unused anyway — it cannot destroy
+        // recorded evidence. (The old worst-pair rule existed for the
+        // zero-pair regime, where the first-pair floor estimate and the
+        // 40% lo cap now carry that risk instead.)
+        // Per-pass cost ≈ best observed child time; each child also pays
+        // a warm-up (~1/15 corpus) and a JVM spawn — 60 s covers both.
         val needed =
           if (pairs.isEmpty) 120.0
-          else if (pairs.size == 1) worstPairSec * 2.1
-          else worstPairSec * 1.15
+          else {
+            val loBest = pairs.map(_._1).min
+            val hiBest = pairs.map(_._2).min
+            2.2 * loBest + 3.3 * hiBest + 60.0
+          }
         if (remaining < needed) {
           System.err.println(f"[bench] budget: $remaining%.0fs left < " +
             f"$needed%.0fs needed for another pair — finalizing with " +
             f"${pairs.size} pairs")
           stop = true
         } else {
-          val pairT0 = System.nanoTime()
           try {
             // first pair: single-pass children, so SOME pair lands inside
             // the budget under any weather; later pairs: two passes per
@@ -496,8 +503,6 @@ object Bench {
             val ldHi = load1
             val hi = childWithRetry(coresHi, docsUsed, budgetSec, hiPasses)
             pairs.synchronized { pairs += ((lo, hi, ldLo, ldHi)) }
-            worstPairSec =
-              math.max(worstPairSec, (System.nanoTime() - pairT0) / 1e9)
             tee()
             val eff = (pairs.map(_._1).min / pairs.map(_._2).min) / factor
             val losSorted = pairs.map(_._1).sorted
