@@ -53,6 +53,49 @@ object SparkEntry {
           length(col("name"))).cast("int").as("mention_count"))
   }
 
+  /** Fixed-window chunk table with a stable synthetic chunk_id
+    * (doc_id * 100000 + chunk_index) — shared by the chunker, neighbor and
+    * document-context rows. Narrow flatMap of the Tok/window kernel.
+    */
+  private def fixedChunksDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = SpanChunker.Config(60, 12, strategy = "fixed")
+    s.read.parquet(docsPath(dir)).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = graft.text.Tok.tokenize(text)
+        SpanChunker.fixedWindowStarts(toks.length, cfg).zipWithIndex
+          .map { case (start, idx) =>
+            val w = toks.slice(start, math.min(start + cfg.chunkSize, toks.length))
+            (id * 100000L + idx, id, idx, w.length, w.mkString(" "))
+          }
+      }.toDF("chunk_id", "doc_id", "chunk_index", "token_count", "chunk_text")
+  }
+
+  /** DuckDB CTE bodies replaying the fixed chunker (same RE2-safe token
+    * grammar as graft.text.Tok, same k*48-stride window arithmetic, same
+    * synthetic chunk_id) — shared by the chunker/neighbor/doc-context
+    * oracles.
+    */
+  private val fixedChunkCte = {
+    val tokPat = """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
+    s"""p AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$tokPat') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS k
+       |  FROM p WHERE len(t) > 0),
+       |fc AS (
+       |  SELECT doc_id * 100000 + k AS chunk_id, doc_id,
+       |    CAST(k AS INT) AS chunk_index,
+       |    CAST(len(list_slice(t, k * 48 + 1, k * 48 + 60)) AS INT)
+       |      AS token_count,
+       |    array_to_string(list_slice(t, k * 48 + 1, k * 48 + 60), ' ')
+       |      AS chunk_text
+       |  FROM w)""".stripMargin
+  }
+
   private val mentionsSql =
     s"""WITH gaz(name, type) AS (VALUES $gazValuesSql)
        |SELECT d.doc_id, g.name, g.type,
@@ -194,6 +237,36 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       // weekly cohort retention counts (absolute epoch-week cohorts)
       Events.retention(s.read.parquet(s"$dir/events.parquet"))),
+    "q_stream_sessionize" -> ((s, dir) =>
+      // the STREAMING face of sessionize: a real file-source
+      // flatMapGroupsWithState query (Trigger.AvailableNow) over the same
+      // events table, checked against the same DuckDB gap-sessionization
+      // oracle restricted to sessions the stream must have closed by
+      // end-of-input (see sessionizeBoundedRun's emission-semantics note).
+      // Verification face: the memory sink collects the (session-level,
+      // already-aggregated) result — the production sink is a table write
+      graft.streaming.StreamingIngest.sessionizeBoundedRun(
+        s, s"$dir/events.parquet")),
+    "q_compare_periods" -> ((s, dir) => {
+      // TimeTraveler.compare_periods (time_travel.py:100-136) over a
+      // versioned view derived from events: version = per-user event rank,
+      // superseded_at = next event's ts — so versionsAtTime's
+      // created/superseded/max-version path all do real work, while the
+      // oracle derives the same counts independently (lineages with any
+      // event at-or-before each cutoff)
+      val w = Window.partitionBy(col("lineage_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val versioned = s.read.parquet(s"$dir/events.parquet")
+        .withColumnRenamed("user_id", "lineage_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("created_at", col("ts"))
+        .withColumn("superseded_at", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("superseded_at").isNull)
+      Temporal.comparePeriods(versioned,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    }),
     // ---- KG-shaped extraction ops over documents -------------------------
     "q_mentions" -> ((s, dir) => mentionsDf(s, dir)),
     "q_entities" -> ((s, dir) => {
@@ -220,22 +293,34 @@ object SparkEntry {
           regexp_extract(col("text"), "(\\w+) merge (\\w+)", 2).as("obj"))
         .where(col("subj") =!= "" && col("obj") =!= "")
     }),
-    "q_chunk_fixed" -> ((s, dir) => {
+    "q_chunk_fixed" -> ((s, dir) =>
       // fixed-strategy chunker (chunker.py:195-233): sliding token windows,
       // stride chunkSize - overlap, decode = space-join. Narrow flatMap,
       // kernel shared with SpanChunker.chunkDocFixed.
-      import s.implicits._
-      val cfg = SpanChunker.Config(60, 12, strategy = "fixed")
-      s.read.parquet(docsPath(dir)).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = graft.text.Tok.tokenize(text)
-          SpanChunker.fixedWindowStarts(toks.length, cfg).zipWithIndex
-            .map { case (start, idx) =>
-              val w = toks.slice(start, math.min(start + cfg.chunkSize, toks.length))
-              (id, idx, w.length, w.mkString(" "))
-            }
-        }.toDF("doc_id", "chunk_index", "token_count", "chunk_text")
+      fixedChunksDf(s, dir)
+        .select(col("doc_id"), col("chunk_index"), col("token_count"),
+          col("chunk_text"))),
+    "q_neighbors" -> ((s, dir) => {
+      // ContextExpander neighbor attachment (context_expansion.py:100-121):
+      // lag/lead previews over (doc_id, chunk_index) — one window, no
+      // self-join; the result set here is the whole chunk table so every
+      // boundary case (first/last chunk per doc) is exercised
+      val ch = fixedChunksDf(s, dir)
+      graft.retrieval.ContextExpansion.withNeighbors(
+        ch.withColumnRenamed("chunk_text", "text"),
+        ch.select(col("chunk_id")))
+    }),
+    "q_doc_context" -> ((s, dir) => {
+      // ContextExpander document context (context_expansion.py:202-226):
+      // per-doc chunk count + top-10 entities by doc-level mention volume,
+      // rank order pinned (sort_array over (rn, name) structs)
+      val m = mentionsDf(s, dir)
+        .select(col("doc_id"), col("name").as("entity_name"),
+          col("mention_count"))
+      graft.retrieval.ContextExpansion
+        .documentContext(fixedChunksDf(s, dir), m)
+        .select(col("doc_id"), col("n_chunks"),
+          array_join(col("top_entities"), ",").as("top_entities"))
     }),
     // ---- JSONL source path (ECTQALoader semantics, SURVEY §2.1) ----------
     // The reference's primary input is ECT-QA JSONL (ectqa_loader.py:41-119)
@@ -612,6 +697,24 @@ object SparkEntry {
         .select(col("chunk_id").as("doc_id"), col("matched"),
           round(col("score"), 6).as("score"))
     }),
+    "q_entity_all" -> ((s, dir) => {
+      // ALL-match relational division (graph_search.py:104-134): docs whose
+      // matched set covers every queried name
+      val m = mentionsDf(s, dir)
+        .select(col("doc_id").as("chunk_id"), col("name").as("entity_name"))
+      GraphSearch.searchByEntitiesAll(s, m, Seq("spark", "merge", "window"),
+          topK = 10)
+        .select(col("chunk_id").as("doc_id"), col("matched"), col("score"))
+    }),
+    "q_entity_type" -> ((s, dir) => {
+      // by-type entity search (graph_search.py:181-240): docs ranked by
+      // distinct PRODUCT entities mentioned
+      val m = mentionsDf(s, dir)
+        .select(col("doc_id").as("chunk_id"), col("name").as("entity_name"),
+          col("type").as("entity_type"))
+      GraphSearch.searchByEntityType(m, "PRODUCT", topK = 10)
+        .select(col("chunk_id").as("doc_id"), col("score"))
+    }),
     "q_related_2hop" -> ((s, dir) => {
       // bounded BFS (graph_search.py:242-309) over the co-occurrence graph
       val m = mentionsDf(s, dir).select(col("doc_id"), col("name"))
@@ -844,6 +947,44 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value,
         |  max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // the streaming face: same gap sessionization, restricted to sessions
+    // the bounded stream must have CLOSED by end-of-input — every
+    // non-last session per user (gap-closed in the single data batch)
+    // plus last sessions whose end + gap lies strictly below the final
+    // watermark (= max event time, lateness 0; Spark's timeout predicate
+    // is timeoutTimestamp < watermark at millisecond resolution, hence
+    // the //1000)
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS prev_us
+        |  FROM e),
+        |x AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+        |        OR us - prev_us > 14400000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_idx
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(us) AS t_start_us, max(us) AS t_end_us,
+        |    round(sum(value), 4) AS sum_value
+        |  FROM x GROUP BY 1, 2),
+        |wm AS (SELECT max(us) // 1000 AS wm_ms FROM e)
+        |SELECT user_id, t_start_us, t_end_us, n_events, sum_value
+        |FROM sess, wm
+        |WHERE session_idx < (SELECT max(session_idx) FROM sess s2
+        |                     WHERE s2.user_id = sess.user_id)
+        |   OR (t_end_us // 1000 + 14400000) < wm_ms""".stripMargin,
+    "q_compare_periods" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n, 't1' AS "at"
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |UNION ALL
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n, 't2' AS "at"
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
@@ -894,24 +1035,36 @@ object SparkEntry {
         |FROM documents
         |WHERE regexp_extract(text, '(\w+) merge (\w+)', 1) <> ''
         |  AND regexp_extract(text, '(\w+) merge (\w+)', 2) <> ''""".stripMargin,
-    "q_chunk_fixed" -> {
-      // same tokenizer grammar as graft.text.Tok (lookaround-free for RE2),
-      // same window arithmetic: starts k*48 while < len, slice of 60
-      val tokPat = """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
-      s"""WITH p AS (
-         |  SELECT doc_id, regexp_extract_all(text, '$tokPat') AS t
-         |  FROM documents),
-         |w AS (
-         |  SELECT doc_id, t,
-         |    unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS k
-         |  FROM p WHERE len(t) > 0)
-         |SELECT doc_id, CAST(k AS INT) AS chunk_index,
-         |  CAST(len(list_slice(t, k * 48 + 1, k * 48 + 60)) AS INT)
-         |    AS token_count,
-         |  array_to_string(list_slice(t, k * 48 + 1, k * 48 + 60), ' ')
-         |    AS chunk_text
-         |FROM w""".stripMargin
-    },
+    "q_chunk_fixed" ->
+      // fixedChunkCte replays the tokenizer grammar (lookaround-free for
+      // RE2) and the k*48-stride window arithmetic of graft.text.Tok /
+      // SpanChunker.fixedWindowStarts
+      s"""WITH $fixedChunkCte
+         |SELECT doc_id, chunk_index, token_count, chunk_text
+         |FROM fc""".stripMargin,
+    "q_neighbors" ->
+      s"""WITH $fixedChunkCte
+         |SELECT chunk_id, doc_id, chunk_index,
+         |  substr(lag(chunk_text) OVER win, 1, 200) AS prev_preview,
+         |  substr(lead(chunk_text) OVER win, 1, 200) AS next_preview
+         |FROM fc
+         |WINDOW win AS (PARTITION BY doc_id ORDER BY chunk_index ASC)""".stripMargin,
+    "q_doc_context" ->
+      s"""WITH $fixedChunkCte,
+         |m AS ($mentionsSql),
+         |agg AS (
+         |  SELECT doc_id, name, sum(mention_count) AS tm
+         |  FROM m GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT doc_id, name, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tm DESC, name ASC) AS rn
+         |  FROM agg),
+         |top AS (
+         |  SELECT doc_id, string_agg(name, ',' ORDER BY rn) AS top_entities
+         |  FROM rk WHERE rn <= 10 GROUP BY doc_id),
+         |cc AS (SELECT doc_id, count(*) AS n_chunks FROM fc GROUP BY doc_id)
+         |SELECT cc.doc_id, cc.n_chunks, top.top_entities
+         |FROM cc LEFT JOIN top ON cc.doc_id = top.doc_id""".stripMargin,
     "q_jsonl_docs" ->
       s"""SELECT sha256(stock_code || '|' || CAST(year AS VARCHAR) || '|'
          |    || quarter) AS doc_id,
@@ -1516,6 +1669,22 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY count(DISTINCT w.wanted) DESC, m.doc_id ASC
          |LIMIT 10""".stripMargin,
+    "q_entity_all" ->
+      s"""WITH m AS ($mentionsSql),
+         |w(wanted) AS (VALUES ('spark'), ('merge'), ('window'))
+         |SELECT m.doc_id, count(DISTINCT w.wanted) AS matched,
+         |  1.0 AS score
+         |FROM m JOIN w ON lower(m.name) = w.wanted
+         |GROUP BY 1 HAVING count(DISTINCT w.wanted) = 3
+         |ORDER BY m.doc_id ASC
+         |LIMIT 10""".stripMargin,
+    "q_entity_type" ->
+      s"""WITH m AS ($mentionsSql)
+         |SELECT doc_id, count(DISTINCT name) AS score
+         |FROM m WHERE type = 'PRODUCT'
+         |GROUP BY 1
+         |ORDER BY count(DISTINCT name) DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
     "q_related_2hop" ->
       s"""WITH m AS ($mentionsSql),
          |e0 AS (
@@ -1894,26 +2063,38 @@ object SparkEntry {
     * final output (doc_id, y, score, pred).
     */
   private def logregSql(dim: Int, epochs: Int, lr: String): String = {
+    // micro-unit replay of TextClassifier: every Σ is over exact BIGINTs
+    // (DuckDB sums BIGINT into exact HUGEINT; the engine sums
+    // decimal(38,0)), so both engines see bit-identical z/p/w at every
+    // step regardless of summation order — the earlier double-sum form
+    // was green-by-luck at the ulp level (see TextClassifier's scaladoc)
     def epochCtes(k: Int): String =
       s"""z$k AS (
          |  SELECT l.id, l.y,
-         |    round((SELECT bias FROM b$k) + coalesce(sum(f.x * w$k.w), 0.0), 6)
-         |      AS z
+         |    round((SELECT bias FROM b$k)
+         |      + CAST(coalesce(sum(f.xu *
+         |          CAST(round(w$k.w * 1000000, 0) AS BIGINT)), 0) AS DOUBLE)
+         |        / 1000000000000.0, 6) AS z
          |  FROM lab l LEFT JOIN f ON f.id = l.id
          |  LEFT JOIN w$k ON w$k.b = f.b
          |  GROUP BY 1, 2),
          |p$k AS (SELECT id, y, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z$k),
          |g$k AS (
-         |  SELECT f.b, sum((p.p - p.y) * f.x) AS gs
+         |  SELECT f.b,
+         |    sum((CAST(round(p.p * 1000000, 0) AS BIGINT)
+         |       - CAST(round(p.y * 1000000, 0) AS BIGINT)) * f.xu) AS gsu
          |  FROM f JOIN p$k p ON p.id = f.id
          |  GROUP BY 1),
          |w${k + 1} AS (
          |  SELECT w.b,
-         |    round(w.w - $lr * coalesce(g.gs, 0.0) / (SELECT n FROM nn), 6) AS w
+         |    round(w.w - $lr * (CAST(coalesce(g.gsu, 0) AS DOUBLE)
+         |      / 1000000000000.0) / (SELECT n FROM nn), 6) AS w
          |  FROM w$k w LEFT JOIN g$k g USING (b)),
          |b${k + 1} AS (
          |  SELECT round((SELECT bias FROM b$k)
-         |    - $lr * sum(p - y) / (SELECT n FROM nn), 6) AS bias
+         |    - $lr * (CAST(sum(CAST(round(p * 1000000, 0) AS BIGINT)
+         |        - CAST(round(y * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0) / (SELECT n FROM nn), 6) AS bias
          |  FROM p$k)""".stripMargin
     val body = (0 until epochs).map(epochCtes).mkString(",\n")
     s"""WITH tok AS (
@@ -1927,7 +2108,8 @@ object SparkEntry {
        |    count(*) AS cnt
        |  FROM tok GROUP BY 1, 2),
        |nt AS (SELECT id, CAST(sum(cnt) AS DOUBLE) AS n FROM tf GROUP BY 1),
-       |f AS (SELECT t.id, t.b, t.cnt / n.n AS x
+       |f AS (SELECT t.id, t.b,
+       |        CAST(round(t.cnt / n.n * 1000000, 0) AS BIGINT) AS xu
        |      FROM tf t JOIN nt n USING (id)),
        |lab AS (SELECT doc_id AS id,
        |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
@@ -1939,7 +2121,9 @@ object SparkEntry {
        |zf AS (
        |  SELECT l.id, l.y,
        |    round((SELECT bias FROM b$epochs)
-       |      + coalesce(sum(f.x * w$epochs.w), 0.0), 6) AS z
+       |      + CAST(coalesce(sum(f.xu *
+       |          CAST(round(w$epochs.w * 1000000, 0) AS BIGINT)), 0) AS DOUBLE)
+       |        / 1000000000000.0, 6) AS z
        |  FROM lab l LEFT JOIN f ON f.id = l.id
        |  LEFT JOIN w$epochs ON w$epochs.b = f.b
        |  GROUP BY 1, 2)

@@ -23,17 +23,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump
+    // (and skips the kg-oracle pass unless a kg_* query is selected);
+    // the driver sets nothing and gets the full dump
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    try dumpKgOracle(spark, sfDir, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] kg oracle dump failed: ${e.getMessage}")
-    }
+    if (only.forall(_.exists(_.startsWith("kg_"))))
+      try dumpKgOracle(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] kg oracle dump failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

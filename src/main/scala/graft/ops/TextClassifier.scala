@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   *     engine-portable bucket arithmetic as Sampling), value = token count
   *     L1-normalized by the doc's token total;
   *   - model: w ∈ R^dim, bias; init all-zero;
-  *   - epoch: full-batch GD. z = round₆(bias + Σ x_b·w_b),
-  *     p = round₆(σ(z)), grad_b = Σ_docs (p−y)·x_b / N, w ← round₆(w −
-  *     lr·grad) (bias likewise). The 6dp rounding of z, p and every
-  *     weight pins both engines to identical values each step, so
-  *     cross-engine float-sum drift cannot compound across epochs (same
-  *     discipline as Clustering's centroid rounding).
+  *   - epoch: full-batch GD. z = round₆(bias + (Σ xu_b·wu_b)/10¹²),
+  *     p = round₆(σ(z)), grad_b = (Σ_docs (pu−yu)·xu_b)/10¹² ,
+  *     w ← round₆(w − lr·grad/N) (bias likewise), where xu/wu/pu/yu are
+  *     the 6dp values in integer MICRO-units (xu = round(x·10⁶) etc.).
+  *     Every distributed Σ is therefore a sum of exact integers
+  *     (decimal(38,0) — DuckDB sums BIGINT into exact HUGEINT) — immune
+  *     to float summation ORDER, not just to magnitude drift: the earlier
+  *     double-sum version rounded z/p/w to 6dp each step, but a
+  *     partition-order ulp landing within 1e-10 of a .5 boundary still
+  *     flipped a rounded value once in a while (observed in round 4: one
+  *     doc's final score read 0.470998 vs the oracle's 0.470999). With
+  *     integer sums the two engines see bit-identical values at every
+  *     step by construction, on any partitioning, at any corpus size.
   *
   * Plan shape at scale: one tokenize+hash pass builds the feature table
   * (doc, bucket, x) — 8-byte-ish rows, corpus-proportional; each epoch is
@@ -48,9 +55,11 @@ object TextClassifier {
     conv(substring(md5(concat(tok, lit(salt))), 1, 8), 16, 10)
       .cast("bigint") % dim
 
-  /** Hashed, L1-normalized bag-of-tokens: (id, b, x) with
-    * x = count(token in bucket b) / (total tokens in doc). Docs with zero
-    * tokens simply have no rows (they score at the bias).
+  /** Hashed, L1-normalized bag-of-tokens: (id, b, x, xu) with
+    * x = count(token in bucket b) / (total tokens in doc) and
+    * xu = round(x·10⁶) — the exact micro-unit integer all training math
+    * runs on. Docs with zero tokens simply have no rows (they score at
+    * the bias).
     */
   def features(docs: DataFrame, dim: Int, salt: String = "",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -64,10 +73,20 @@ object TextClassifier {
     tf.join(nt, "id")
       .select(col("id"), col("b"),
         (col("cnt").cast("double") / col("n").cast("double")).as("x"))
+      .withColumn("xu", round(col("x") * lit(1e6), 0).cast("long"))
   }
 
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** A 6dp double in integer micro-units. HALF_UP (= half away from zero
+    * for either sign) to mirror SQL round(); the inputs are already
+    * 6dp-rounded doubles, so v·10⁶ sits within an ulp of an integer and
+    * never at a genuine .5 boundary.
+    */
+  private def microUnits(v: Double): Long =
+    BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLongExact
 
   /** (id, y, z, p) under a fixed model: z = round₆(bias + Σ x·w_b),
     * p = round₆(σ(z)). `labels` must cover every doc (left-join keeps
@@ -75,23 +94,29 @@ object TextClassifier {
     */
   def score(feats: DataFrame, labels: DataFrame, w: Array[Double],
       bias: Double, forceJoin: Boolean = false): DataFrame = {
-    val xw =
+    // weights ride along in micro-units so every per-row product
+    // xu·wu (≤ 10⁶·|wu|) is an exact long and the per-doc Σ is an exact
+    // decimal — z is then identical on any partitioning/engine
+    val wu = w.map(microUnits)
+    val xwu =
       if (w.length <= LiteralDimCap && !forceJoin) {
-        val warr = typedLit(w.toSeq)
+        val warr = typedLit(wu.toSeq)
         feats.select(col("id"),
-          (col("x") * element_at(warr, col("b").cast("int") + 1)).as("xw"))
+          (col("xu") * element_at(warr, col("b").cast("int") + 1)).as("xwu"))
       } else {
         val spark = feats.sparkSession
         import spark.implicits._
-        val wdf = w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-          .toSeq.toDF("b", "w")
+        val wdf = wu.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("b", "wu")
         feats.join(broadcast(wdf), "b")
-          .select(col("id"), (col("x") * col("w")).as("xw"))
+          .select(col("id"), (col("xu") * col("wu")).as("xwu"))
       }
-    val zs = xw.groupBy(col("id")).agg(sum(col("xw")).as("zsum"))
+    val zs = xwu.groupBy(col("id"))
+      .agg(sum(col("xwu").cast("decimal(38,0)")).as("zu"))
     labels.join(zs, Seq("id"), "left")
       .select(col("id"), col("y"),
-        round(lit(bias) + coalesce(col("zsum"), lit(0.0)), 6).as("z"))
+        round(lit(bias) +
+          coalesce(col("zu").cast("double"), lit(0.0)) / lit(1e12), 6).as("z"))
       .withColumn("p",
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
   }
@@ -116,17 +141,24 @@ object TextClassifier {
       while (e < epochs) {
         val scored = score(f, l, w, bias, forceJoin)
           .select(col("id"), col("y"), col("p")).persist()
+        // gradient in exact micro²-units: (pu−yu)·xu ≤ 10¹² per feature
+        // row as a long, summed as decimal(38,0) so the Σ is exact at any
+        // row count (DuckDB mirrors with its exact HUGEINT bigint-sum)
+        val pu = round(col("p") * lit(1e6), 0).cast("long")
+        val yu = (col("y") * lit(1e6)).cast("long")
         val grads = scored.join(f, "id")
           .groupBy(col("b"))
-          .agg(sum((col("p") - col("y")) * col("x")).as("gs"))
+          .agg(sum(((pu - yu) * col("xu")).cast("decimal(38,0)")).as("gsu"))
           .collect()
-          .map(r => r.getLong(0).toInt -> r.getDouble(1))
+          .map(r => r.getLong(0).toInt -> r.getDecimal(1))
           .toMap
-        val gb = scored.agg(sum(col("p") - col("y"))).first().getDouble(0)
+        val gbu = scored.agg(sum((pu - yu).cast("decimal(38,0)")))
+          .first().getDecimal(0)
         scored.unpersist()
         w = w.indices.map(b =>
-          round6(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
-        bias = round6(bias - lr * gb / n)
+          round6(w(b) - lr * grads.get(b)
+            .map(_.doubleValue / 1e12).getOrElse(0.0) / n)).toArray
+        bias = round6(bias - lr * (gbu.doubleValue / 1e6) / n)
         e += 1
       }
       (w, bias)

@@ -101,7 +101,13 @@ object ContextExpansion {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 10)
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("entity_name")).as("top_entities"))
+      // collect_list order is partition-arrival order (nondeterministic
+      // after the shuffle); sorting (rn, name) structs pins the list to
+      // the rank order the window defined, so the output is exact-compare
+      // stable across runs and engines
+      .agg(transform(
+        sort_array(collect_list(struct(col("rn"), col("entity_name")))),
+        e => e("entity_name")).as("top_entities"))
     chunkCounts.join(topEntities, Seq("doc_id"), "left")
   }
 }

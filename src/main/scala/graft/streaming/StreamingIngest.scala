@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.core.Schema._
 import graft.ingest.{GazetteerNer, SpanChunker}
@@ -124,6 +124,17 @@ object StreamingIngest {
   final case class UserEvent(user_id: Long, event_ts: Timestamp,
       event_type: String, value: Double)
 
+  /** Full-microsecond epoch for a Timestamp. `getTime` alone is
+    * millisecond-truncated; the synthetic event streams carry genuine
+    * sub-millisecond fractions, and the batch `Events.sessionize` emits
+    * `unix_micros` — so the streaming face must use the same resolution
+    * or its session endpoints diverge from the batch result on the
+    * identical events (caught building the q_stream_sessionize driver
+    * row: every endpoint was off by the sub-ms fraction).
+    */
+  private def epochUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   final case class SessionAcc(t_start_us: Long, t_end_us: Long,
       n_events: Long, sum_value: Double)
 
@@ -151,11 +162,11 @@ object StreamingIngest {
         Iterator(SessionOut(uid, s.t_start_us, s.t_end_us, s.n_events,
           s.sum_value))
       } else {
-        val batch = rows.toArray.sortBy(e => e.event_ts.getTime)
+        val batch = rows.toArray.sortBy(e => epochUs(e.event_ts))
         var closed = List.empty[SessionOut]
         var cur = state.getOption
         batch.foreach { e =>
-          val t = e.event_ts.getTime * 1000L
+          val t = epochUs(e.event_ts)
           cur = cur match {
             case Some(s) if t - s.t_end_us <= gapUs =>
               // a late cross-batch event admitted by the watermark can
@@ -195,6 +206,63 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fold _)
+  }
+
+  /** Drive [[sessionStream]] over a bounded parquet events table as a REAL
+    * file-source streaming query (Trigger.AvailableNow, memory sink) and
+    * return the emitted sessions as a static DataFrame — the driver-gate
+    * face of the streaming path, compared against the same DuckDB
+    * gap-sessionization oracle as the batch `Events.sessionize`.
+    *
+    * Emission semantics on a bounded stream (what the oracle must mirror):
+    * the whole table arrives as ONE microbatch (file source, no
+    * maxFilesPerTrigger limit), so every intra-user gap-closed session is
+    * emitted there; each user's LAST session stays in state with an
+    * event-time timeout at t_end + gap, and is flushed by the trailing
+    * no-data microbatch iff that timeout lies strictly BELOW the final
+    * watermark (= max event time under lateness 0; Spark fires
+    * `timeoutTimestamp < watermark`, both at ms resolution). Sessions
+    * whose gap has not provably expired by end-of-input correctly remain
+    * open — a later file could still extend them — so the oracle excludes
+    * exactly those.
+    *
+    * The checkpoint dir is a throwaway temp dir: this entry verifies the
+    * operator's semantics, not sink recovery (ResumeSpec covers resume).
+    */
+  def sessionizeBoundedRun(spark: SparkSession, eventsPath: String,
+      gapSec: Long = 4 * 3600): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    // the file streaming source lists a DIRECTORY; when handed a plain
+    // parquet file (the testdata layout), expose it through a temp dir
+    // symlink — zero copy, read-only source untouched
+    val src = {
+      val p = java.nio.file.Paths.get(eventsPath)
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      } else eventsPath
+    }
+    val events = spark.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), col("ts").cast("timestamp").as("event_ts"),
+        col("event_type"), col("value"))
+      .as[UserEvent]
+    val table = "graft_stream_sessions_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt-").toString
+    val q = sessionStream(spark, events, gapSec, lateness = "0 seconds")
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(col("user_id"), col("t_start_us"), col("t_end_us"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
   }
 
   /** Wire a memory-sink query for tests/demos: mention windows to an
