@@ -342,6 +342,20 @@ object SparkEntry {
       val (corpus, _) = graft.sources.JsonlCorpus.load(s, path)
       graft.sources.JsonlCorpus.stats(corpus)
     }),
+    // ---- file-format loaders (document_loader.py:20-227, SURVEY §2.1) ----
+    // binaryFile scan → per-file decode of all four reference formats with
+    // REAL pure-JVM parsers (strict-UTF-8/latin-1 text, markdown→HTML→text,
+    // BS4-style HTML get_text, PDF FlateDecode + Tj/TJ operators) plus the
+    // unsupported-extension error row; the oracle is the fixture
+    // generator's independently-derived expected text (never produced by
+    // running these parsers), dumped by Verify like the media features
+    "q_doc_load" -> ((s, dir) => {
+      val path = graft.sources.DocLoader.writeFixture(
+        DocFixtureDocs, DocFixtureSeed)
+      graft.sources.DocLoader.load(s, path)
+        .select(col("filename"), col("ext"), col("byte_len"), col("text"),
+          col("error"))
+    }),
     // ---- dedup suite ------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       // the synth corpus has no EXACT dups at the verify SF (only
@@ -852,6 +866,14 @@ object SparkEntry {
   val JsonlFixtureDocs = 500
   val JsonlFixtureSeed = 7L
 
+  /** Doc-file fixture knobs (q_doc_load): 400 corpus docs round-robin over
+    * txt/md/html/pdf (every 8th txt latin-1-encoded) plus one unsupported
+    * `.dat` file — 401 rows. Shared by the query and Verify's expected-rows
+    * oracle dump.
+    */
+  val DocFixtureDocs = 400
+  val DocFixtureSeed = 11L
+
   private def jsonlReadSql: String =
     s"""read_json('${graft.sources.JsonlCorpus.fixturePath(JsonlFixtureDocs,
         JsonlFixtureSeed)}',
@@ -885,6 +907,9 @@ object SparkEntry {
     "kg_nodes_dist" -> oracleDumpSql("kg_nodes"),
     "kg_ppr_dist" -> oracleDumpSql("kg_ppr"),
     "q_media_features" -> oracleDumpSql("q_media_features"),
+    // expected table derived by the fixture generator from pre-render
+    // inputs (never by running the engine's parsers) — dumped by Verify
+    "q_doc_load" -> oracleDumpSql("q_doc_load"),
     // resize/frame-sample derive arithmetically from the dumped features —
     // DuckDB recomputes the contract instead of trusting the engine
     "q_media_resize" ->

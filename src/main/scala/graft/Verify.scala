@@ -146,6 +146,16 @@ object Verify {
       }.toDF("doc_id", "media_ref", "kind", "byte_len", "width", "height",
         "n_frames")
     }
+    // q_doc_load expected table: the fixture generator's side-by-side
+    // derivation (expected text from pre-render inputs, byte_len from the
+    // bytes it wrote) — the engine row must reproduce it by PARSING the
+    // rendered txt/md/html/pdf bytes, so generator arithmetic and engine
+    // parsing are two independent derivations of the same contract
+    dump("q_doc_load") {
+      graft.sources.DocLoader
+        .expectedRows(SparkEntry.DocFixtureDocs, SparkEntry.DocFixtureSeed)
+        .toDF("filename", "ext", "byte_len", "text", "error")
+    }
   }
 
   /** Serial PPR chunk scoring over the oracle's graph — seeds / induced

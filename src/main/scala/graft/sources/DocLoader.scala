@@ -1,0 +1,602 @@
+package graft.sources
+
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.nio.ByteBuffer
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-format document loaders (reference `ingestion/document_loader.py`):
+  * extension-dispatched parsing of text / markdown / HTML / PDF files into
+  * plain document text, re-expressed for Spark as `spark.read.format
+  * ("binaryFile")` (the built-in distributed whole-file source — files are
+  * split across executors by the scan, no driver-side listing loop) followed
+  * by a narrow per-file decode (`document_loader.py:20-102` dispatch).
+  *
+  * All four decoders are real, pure-JVM parsers (no external libs):
+  *   - text: strict UTF-8 with latin-1 fallback (`:202-227`);
+  *   - HTML: script/style/comment removal + BS4-style `get_text("\n",
+  *     strip=True)` + blank-line cleanup (`:169-200`);
+  *   - markdown: markdown→HTML→text, the reference's own composition
+  *     (`:142-167` uses `markdown.markdown` then BeautifulSoup) — here a
+  *     deterministic mini-renderer for the common constructs (headings,
+  *     paragraphs, lists, blockquotes, fenced code, bold/em/inline-code/
+  *     links) feeding the same HTML text extractor;
+  *   - PDF: object/stream scan, `/FlateDecode` inflation via
+  *     `java.util.zip.Inflater`, and Tj/TJ/'/" text-operator extraction
+  *     with PDF string escapes — per-stream error tolerance mirroring the
+  *     reference's per-page try/except (`:104-140`), pages joined "\n\n".
+  *
+  * Scale posture: one file = one input row; the binaryFile scan partitions
+  * by `spark.sql.files.maxPartitionBytes`, the decode is a narrow typed map
+  * (no shuffle), and per-file failures become error rows instead of killing
+  * the job — the PERMISSIVE-mode posture of the JSONL source applied to
+  * binary files.
+  */
+object DocLoader {
+
+  // ------------------------------------------------------------------
+  // text (document_loader.py:202-227)
+  // ------------------------------------------------------------------
+
+  /** Strict UTF-8 decode; on any malformed byte fall back to latin-1
+    * (byte-transparent, never fails) — the reference's exact strategy.
+    */
+  def decodeText(bytes: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try dec.decode(ByteBuffer.wrap(bytes)).toString
+    catch {
+      case _: CharacterCodingException =>
+        new String(bytes, StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // HTML (document_loader.py:169-200)
+  // ------------------------------------------------------------------
+
+  private val CommentRe = "(?s)<!--.*?-->".r
+  private val ScriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>".r
+  private val StyleRe = "(?is)<style\\b[^>]*>.*?</style\\s*>".r
+  private val TagRe = "(?s)<[^>]*>".r
+  private val DecEntityRe = "&#(\\d{1,7});".r
+  private val HexEntityRe = "&#[xX]([0-9a-fA-F]{1,6});".r
+
+  /** Decode the common named + numeric character references. `&amp;` is
+    * handled by the same single left-to-right pass, so `&amp;lt;` decodes
+    * to the literal `&lt;` exactly once (no double-decode).
+    */
+  private[sources] def decodeEntities(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 9) {
+          s.substring(i, semi + 1) match {
+            case "&amp;" => out.append('&'); i = semi + 1
+            case "&lt;" => out.append('<'); i = semi + 1
+            case "&gt;" => out.append('>'); i = semi + 1
+            case "&quot;" => out.append('"'); i = semi + 1
+            case "&apos;" | "&#39;" => out.append('\''); i = semi + 1
+            case "&nbsp;" => out.append('\u00a0'); i = semi + 1
+            case ref @ DecEntityRe(d) =>
+              val cp = d.toLong
+              if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
+                out.appendCodePoint(cp.toInt); i = semi + 1
+              } else { out.append(ref); i = semi + 1 }
+            case HexEntityRe(h) =>
+              val cp = java.lang.Long.parseLong(h, 16)
+              if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
+                out.appendCodePoint(cp.toInt); i = semi + 1
+              } else { out.append(s.substring(i, semi + 1)); i = semi + 1 }
+            case _ => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Whitespace strip that also covers NBSP (decoded `&nbsp;`), matching
+    * Python `str.strip()` which strips unicode whitespace.
+    */
+  private def stripWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    @inline def ws(c: Char) = Character.isWhitespace(c) || c == '\u00a0'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  /** BS4 `get_text(separator="\n", strip=True)` contract: every tag is a
+    * text-node boundary; each node is entity-decoded then stripped; empty
+    * nodes drop; nodes join with "\n". Script/style ELEMENTS (tag + content)
+    * and comments are removed first (`document_loader.py:183-186`).
+    */
+  def htmlToText(html: String): String = {
+    val noComments = CommentRe.replaceAllIn(html, "")
+    val noScript = StyleRe.replaceAllIn(
+      ScriptRe.replaceAllIn(noComments, "\u0000"), "\u0000")
+    val parts = TagRe.replaceAllIn(noScript, "\u0000").split('\u0000')
+    parts.iterator
+      .map(p => stripWs(decodeEntities(p)))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  /** The `.html` loader's extra cleanup (`document_loader.py:191-193`):
+    * strip every line, drop blanks.
+    */
+  def htmlFileToText(html: String): String =
+    htmlToText(html).linesIterator.map(stripWs).filter(_.nonEmpty)
+      .mkString("\n")
+
+  // ------------------------------------------------------------------
+  // markdown (document_loader.py:142-167: markdown -> HTML -> get_text)
+  // ------------------------------------------------------------------
+
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private val BoldRe = "\\*\\*([^*]+)\\*\\*".r
+  private val EmRe = "\\*([^*]+)\\*".r
+  private val CodeSpanRe = "`([^`]+)`".r
+  private val LinkRe = "\\[([^\\]]*)\\]\\(([^)]*)\\)".r
+  private val HeadingRe = "^(#{1,6})\\s+(.*)$".r
+  private val BulletRe = "^[-*]\\s+(.*)$".r
+  private val QuoteRe = "^>\\s?(.*)$".r
+
+  /** Inline markdown → HTML (bold, emphasis, inline code, links). */
+  private[sources] def renderInline(s: String): String = {
+    var h = escapeHtml(s)
+    h = LinkRe.replaceAllIn(h, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
+    h = CodeSpanRe.replaceAllIn(h, m =>
+      scala.util.matching.Regex.quoteReplacement(s"<code>${m.group(1)}</code>"))
+    h = BoldRe.replaceAllIn(h, m =>
+      scala.util.matching.Regex.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    h = EmRe.replaceAllIn(h, m =>
+      scala.util.matching.Regex.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    h
+  }
+
+  /** Block-level mini markdown renderer: headings, bullet lists,
+    * blockquotes, fenced code, paragraphs (consecutive non-blank lines).
+    */
+  def markdownToHtml(md: String): String = {
+    val out = new StringBuilder
+    val lines = md.split("\n", -1)
+    var i = 0
+    val para = new StringBuilder
+    def flushPara(): Unit = if (para.nonEmpty) {
+      out.append("<p>").append(renderInline(para.toString)).append("</p>\n")
+      para.clear()
+    }
+    while (i < lines.length) {
+      val line = lines(i)
+      line match {
+        case l if l.startsWith("```") =>
+          flushPara()
+          val code = new StringBuilder
+          i += 1
+          while (i < lines.length && !lines(i).startsWith("```")) {
+            if (code.nonEmpty) code.append('\n')
+            code.append(lines(i))
+            i += 1
+          }
+          out.append("<pre><code>").append(escapeHtml(code.toString))
+            .append("</code></pre>\n")
+        case HeadingRe(hashes, text) =>
+          flushPara()
+          val n = hashes.length
+          out.append(s"<h$n>").append(renderInline(text)).append(s"</h$n>\n")
+        case BulletRe(item) =>
+          flushPara()
+          out.append("<li>").append(renderInline(item)).append("</li>\n")
+        case QuoteRe(q) =>
+          flushPara()
+          out.append("<blockquote><p>").append(renderInline(q))
+            .append("</p></blockquote>\n")
+        case l if stripWs(l).isEmpty =>
+          flushPara()
+        case l =>
+          if (para.nonEmpty) para.append('\n')
+          para.append(l)
+      }
+      i += 1
+    }
+    flushPara()
+    out.toString
+  }
+
+  /** markdown → plain text via the HTML path, exactly the reference's
+    * composition (`document_loader.py:155-161`). Inline markup introduces
+    * text-node boundaries, so `a **b** c` reads back as "a\nb\nc" — the
+    * same behavior `markdown.markdown` + `get_text("\n")` exhibits.
+    */
+  def markdownToText(md: String): String = htmlToText(markdownToHtml(md))
+
+  // ------------------------------------------------------------------
+  // PDF (document_loader.py:104-140)
+  // ------------------------------------------------------------------
+
+  /** Extract the text-showing operators (Tj, ', ", TJ) from one decoded
+    * content stream. Each shown string becomes a line; a TJ array's strings
+    * concatenate (kerning numbers ignored). PDF string escapes
+    * (\\ \( \) \n \r \t \b \f and octal \ddd) and balanced nested parens
+    * are handled.
+    */
+  private[graft] def contentStreamText(cs: String): String = {
+    val pieces = Vector.newBuilder[String]
+    var i = 0
+    var inArray = false
+    val arrayBuf = new StringBuilder
+    while (i < cs.length) {
+      cs.charAt(i) match {
+        case '[' => inArray = true; arrayBuf.clear(); i += 1
+        case ']' =>
+          if (inArray && arrayBuf.nonEmpty) pieces += arrayBuf.toString
+          inArray = false
+          i += 1
+        case '(' =>
+          val sb = new StringBuilder
+          var depth = 1
+          i += 1
+          while (i < cs.length && depth > 0) {
+            cs.charAt(i) match {
+              case '\\' if i + 1 < cs.length =>
+                cs.charAt(i + 1) match {
+                  case 'n' => sb.append('\n'); i += 2
+                  case 'r' => sb.append('\r'); i += 2
+                  case 't' => sb.append('\t'); i += 2
+                  case 'b' => sb.append('\b'); i += 2
+                  case 'f' => sb.append('\f'); i += 2
+                  case d if d >= '0' && d <= '7' =>
+                    var oct = 0
+                    var k = 0
+                    i += 1
+                    while (k < 3 && i < cs.length &&
+                        cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
+                      oct = oct * 8 + (cs.charAt(i) - '0')
+                      i += 1; k += 1
+                    }
+                    sb.append(oct.toChar)
+                  case c => sb.append(c); i += 2
+                }
+              case '(' => depth += 1; sb.append('('); i += 1
+              case ')' =>
+                depth -= 1
+                if (depth > 0) sb.append(')')
+                i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+          if (inArray) arrayBuf.append(sb) else pieces += sb.toString
+        case _ => i += 1
+      }
+    }
+    pieces.result().mkString("\n")
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** PDF → text: scan objects for `<<dict>> stream ... endstream`, slice
+    * stream data by /Length, inflate /FlateDecode, pull the text operators.
+    * Per-stream errors are tolerated (skip and continue — the reference's
+    * per-page try/except, `document_loader.py:123-129`); non-empty page
+    * texts join "\n\n" (`:131`). A buffer without the %PDF header raises,
+    * like `PdfReader` on a non-PDF (`:136-140`).
+    */
+  def pdfToText(bytes: Array[Byte]): String = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    require(s.startsWith("%PDF-"), "not a PDF (missing %PDF- header)")
+    val pages = Vector.newBuilder[String]
+    val LengthRe = "/Length\\s+(\\d+)".r
+    var pos = 0
+    while ({ pos = s.indexOf("stream", pos); pos >= 0 }) {
+      // the keyword, not the tail of "endstream": must not be preceded by
+      // "end" and must be followed by an EOL per the spec (7.3.8.1)
+      val isKeyword =
+        !(pos >= 3 && s.regionMatches(pos - 3, "end", 0, 3)) && {
+          val nxt = pos + "stream".length
+          nxt < s.length && (s.charAt(nxt) == '\r' || s.charAt(nxt) == '\n')
+        }
+      if (!isKeyword) pos += "stream".length
+      else try {
+        val dictStart = s.lastIndexOf("<<", pos)
+        val dict = if (dictStart >= 0) s.substring(dictStart, pos) else ""
+        var dataStart = pos + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val len = LengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+          .getOrElse(s.indexOf("endstream", dataStart) - dataStart)
+        require(len >= 0 && dataStart + len <= s.length, "bad stream length")
+        val raw = bytes.slice(dataStart, dataStart + len)
+        val content =
+          if (dict.contains("/FlateDecode")) inflate(raw) else raw
+        val text = contentStreamText(
+          new String(content, StandardCharsets.ISO_8859_1))
+        if (text.nonEmpty) pages += text
+        pos = dataStart + len
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[docloader] skipping unreadable pdf stream: " +
+            s"${e.getMessage}")
+          pos += "stream".length
+      }
+    }
+    pages.result().mkString("\n\n")
+  }
+
+  // ------------------------------------------------------------------
+  // dispatch + Spark surface (document_loader.py:20-102)
+  // ------------------------------------------------------------------
+
+  def unsupportedMsg(ext: String): String = s"unsupported extension: $ext"
+
+  /** Decode one file's bytes by extension. */
+  def decodeFile(ext: String, bytes: Array[Byte]): String = ext match {
+    case "txt" => decodeText(bytes)
+    case "md" | "markdown" => markdownToText(decodeText(bytes))
+    case "html" | "htm" => htmlFileToText(decodeText(bytes))
+    case "pdf" => pdfToText(bytes)
+    case other => sys.error(unsupportedMsg(other))
+  }
+
+  /** Distributed load of a directory of document files: binaryFile scan →
+    * narrow per-file decode; failures become error rows (filename, ext and
+    * size still populated) instead of failing the scan.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "length", "content")
+      .as[(String, Long, Array[Byte])]
+      .map { case (p, len, bytes) =>
+        val fname = p.substring(p.lastIndexOf('/') + 1)
+        val dot = fname.lastIndexOf('.')
+        val ext = if (dot >= 0) fname.substring(dot + 1).toLowerCase else ""
+        try (fname, ext, len, decodeFile(ext, bytes), null: String)
+        catch {
+          case e: Throwable => (fname, ext, len, null: String, e.getMessage)
+        }
+      }
+      .toDF("filename", "ext", "byte_len", "text", "error")
+  }
+
+  /** Loaded files → the engine's interleaved spans-table shape
+    * (doc_id, spans) so file-sourced corpora feed IngestJob exactly like
+    * the reference's load→chunk path (`pipeline.py:100-108`): doc_id =
+    * filename, one text span per extracted text, error rows dropped.
+    * Narrow projection — no shuffle.
+    */
+  def asCorpus(loaded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    loaded.where(col("error").isNull && col("text").isNotNull)
+      .select(col("filename").as("doc_id"),
+        array(struct(lit("text").as("kind"), col("text").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+  }
+
+  // ------------------------------------------------------------------
+  // deterministic fixture + generator-side expected text
+  // ------------------------------------------------------------------
+  //
+  // The fixture generator builds each file's bytes AND its expected
+  // extracted text side by side from the synthetic corpus — the expected
+  // text is derived from the pre-render inputs, never by running the
+  // parsers, so the Verify gate compares two independent derivations
+  // (generator arithmetic vs engine parsing), the same contract as the
+  // media decoders' oracle.
+
+  final case class FixtureFile(filename: String, ext: String,
+      bytes: Array[Byte], expectedText: String, expectedError: String)
+
+  /** One file per corpus doc, format round-robin txt/md/html/pdf, plus one
+    * unsupported `.dat` file exercising the error row.
+    */
+  def genFiles(nDocs: Int, seed: Long): Vector[FixtureFile] = {
+    val corpus = graft.synth.CorpusSynth.serial(nDocs, seed)
+    val files = corpus.zipWithIndex.map { case ((doc, meta), i) =>
+      val paras = doc.spans.filter(_.kind == "text").map(_.text)
+      i % 4 match {
+        case 0 => // plain text; every 8th txt file is latin-1 encoded
+          val body = (s"${meta.company_name} ${meta.quarter} ${meta.year}" +:
+            paras).mkString("\n")
+          if (i % 32 == 0) {
+            val accented = body + "\nRésumé attaché."
+            FixtureFile(f"${doc.doc_id}.txt", "txt",
+              accented.getBytes(StandardCharsets.ISO_8859_1), accented, null)
+          } else
+            FixtureFile(f"${doc.doc_id}.txt", "txt",
+              body.getBytes(StandardCharsets.UTF_8), body, null)
+        case 1 => genMarkdown(doc.doc_id, meta, paras)
+        case 2 => genHtml(doc.doc_id, meta, paras)
+        case _ => genPdf(doc.doc_id, meta, paras)
+      }
+    }
+    files :+ FixtureFile("opaque_blob.dat", "dat",
+      Array[Byte](0x47, 0x42, 0x4c, 0x42, 0x00, 0x01),
+      null, unsupportedMsg("dat"))
+  }
+
+  private def genMarkdown(docId: String,
+      meta: graft.core.Schema.DocMeta,
+      paras: Seq[String]): FixtureFile = {
+    val md = new StringBuilder
+    val exp = Vector.newBuilder[String]
+    md.append(s"# ${meta.company_name} ${meta.quarter} ${meta.year}\n\n")
+    exp += s"${meta.company_name} ${meta.quarter} ${meta.year}"
+    // an inline-markup paragraph: bold + link introduce node boundaries
+    md.append(s"Call notes for **${meta.stock_code}** filed under " +
+      s"[${meta.sector}](${meta.url}).\n\n")
+    exp += "Call notes for"
+    exp += meta.stock_code
+    exp += "filed under"
+    exp += meta.sector
+    exp += "."
+    paras.zipWithIndex.foreach { case (p, j) =>
+      if (j % 3 == 2) {
+        md.append(s"- $p\n")
+        exp += p
+      } else {
+        md.append(s"$p\n\n")
+        exp += p
+      }
+    }
+    md.append("\n```\n")
+    md.append(s"ticker = ${meta.stock_code}\nyear = ${meta.year}\n")
+    md.append("```\n")
+    // the fenced block is ONE text node: internal newline survives
+    exp += s"ticker = ${meta.stock_code}\nyear = ${meta.year}"
+    FixtureFile(s"$docId.md", "md",
+      md.toString.getBytes(StandardCharsets.UTF_8),
+      exp.result().mkString("\n"), null)
+  }
+
+  private def genHtml(docId: String,
+      meta: graft.core.Schema.DocMeta,
+      paras: Seq[String]): FixtureFile = {
+    val title = s"${meta.company_name} ${meta.quarter} ${meta.year}"
+    val html = new StringBuilder
+    val exp = Vector.newBuilder[String]
+    html.append("<!DOCTYPE html>\n<html>\n<head>\n")
+    html.append(s"<title>$title</title>\n")
+    html.append("<style>\np { color: #333; }\n</style>\n")
+    html.append("<script>\nvar tracker = 1 < 2;\n</script>\n")
+    html.append("</head>\n<body>\n<!-- boilerplate nav omitted -->\n")
+    exp += title // <title> text survives get_text, like BS4
+    html.append(s"<h1>$title &amp; Investors</h1>\n")
+    exp += s"$title & Investors"
+    paras.foreach { p =>
+      html.append(s"<p>$p</p>\n")
+      exp += p
+    }
+    html.append(s"<div>Sector: <b>${meta.sector}</b></div>\n")
+    exp += "Sector:"
+    exp += meta.sector
+    html.append("</body>\n</html>\n")
+    FixtureFile(s"$docId.html", "html",
+      html.toString.getBytes(StandardCharsets.UTF_8),
+      exp.result().mkString("\n"), null)
+  }
+
+  /** Minimal but structurally valid PDF: catalog/pages/page objects, one
+    * FlateDecode content stream per page (3 paragraphs/page), xref and
+    * trailer. One line per page uses a TJ kerning array, one escapes
+    * parens — both text-operator paths exercised on every file.
+    */
+  private def genPdf(docId: String,
+      meta: graft.core.Schema.DocMeta,
+      paras: Seq[String]): FixtureFile = {
+    def pdfEscape(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val titleLine =
+      s"${meta.company_name} (${meta.stock_code}) ${meta.quarter} ${meta.year}"
+    val pageLines = (titleLine +: paras).grouped(3).toVector
+    val expected = pageLines.map(_.mkString("\n")).mkString("\n\n")
+    val streams = pageLines.map { lines =>
+      val body = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        if (j > 0) body.append("0 -14 Td\n")
+        if (j == 1 && line.length > 8) {
+          val (a, b) = line.splitAt(line.length / 2)
+          body.append(s"[(${pdfEscape(a)}) -250 (${pdfEscape(b)})] TJ\n")
+        } else body.append(s"(${pdfEscape(line)}) Tj\n")
+      }
+      body.append("ET\n")
+      val raw = body.toString.getBytes(StandardCharsets.ISO_8859_1)
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = Vector.newBuilder[Int]
+    w("%PDF-1.4\n")
+    val nPages = streams.size
+    val kidIds = (0 until nPages).map(3 + 2 * _)
+    offsets += bos.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += bos.size()
+    w(s"2 0 obj << /Type /Pages /Kids [${kidIds.map(_ + " 0 R").mkString(" ")}]" +
+      s" /Count $nPages >> endobj\n")
+    streams.zipWithIndex.foreach { case (data, p) =>
+      val pageId = 3 + 2 * p
+      offsets += bos.size()
+      w(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${pageId + 1} 0 R " +
+        s"/Resources << /Font << /F1 ${3 + 2 * nPages} 0 R >> >> >> endobj\n")
+      offsets += bos.size()
+      w(s"${pageId + 1} 0 obj << /Length ${data.length} /Filter /FlateDecode" +
+        s" >>\nstream\n")
+      bos.write(data)
+      w("\nendstream endobj\n")
+    }
+    offsets += bos.size()
+    w(s"${3 + 2 * nPages} 0 obj << /Type /Font /Subtype /Type1 " +
+      s"/BaseFont /Helvetica >> endobj\n")
+    val xrefAt = bos.size()
+    val offs = offsets.result()
+    w(s"xref\n0 ${offs.size + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size ${offs.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    FixtureFile(s"$docId.pdf", "pdf", bos.toByteArray, expected, null)
+  }
+
+  /** Content-versioned fixture directory under tmpdir (the q_jsonl
+    * pattern): written once, atomically via rename.
+    */
+  def fixtureDir(nDocs: Int, seed: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_docs_v1_${nDocs}_$seed"
+
+  def writeFixture(nDocs: Int, seed: Long): String = {
+    val path = fixtureDir(nDocs, seed)
+    val dir = new java.io.File(path)
+    if (!dir.exists()) {
+      val tmp = new java.io.File(
+        path + ".tmp." + ProcessHandle.current().pid())
+      tmp.mkdirs()
+      genFiles(nDocs, seed).foreach { f =>
+        java.nio.file.Files.write(
+          new java.io.File(tmp, f.filename).toPath, f.bytes)
+      }
+      if (!tmp.renameTo(dir) && !dir.exists())
+        sys.error(s"could not materialize doc fixture at $path")
+    }
+    path
+  }
+
+  /** The expected table the Verify gate dumps for DuckDB: one row per
+    * fixture file, schema-identical to [[load]]'s output.
+    */
+  def expectedRows(nDocs: Int, seed: Long)
+      : Seq[(String, String, Long, String, String)] =
+    genFiles(nDocs, seed).map(f =>
+      (f.filename, f.ext, f.bytes.length.toLong, f.expectedText,
+        f.expectedError))
+}
