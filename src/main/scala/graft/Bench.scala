@@ -7,19 +7,39 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ingest.SpanChunker
 
-/** Benchmark main. Prints ONE JSON line:
-  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *    "scaling":{...}}
+/** Benchmark main. Prints TWO JSON lines on stdout — a FULL line with
+  * per-query timings first, then a COMPACT line LAST:
+  *   full:    {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *             "queries_load1":{...},"sf":...,"scaling":{...}}
+  *   compact: {"metric":"total","value":N,"unit":"sec","sf":...,
+  *             "queries_file":"...","scaling":{...}}
   *
-  * Two parts:
-  *   1. headline queries from SparkEntry.queries on SPARK_GRAFT_SF_DIR at
-  *      local[SPARK_GRAFT_CPUS];
-  *   2. the north-rule scaling evidence: the full KG construction pipeline
+  * WHY two lines (round-5 rework): the driver's bench artifact keeps only
+  * the last 2,000 characters of stdout. BENCH_r04 was rc=0/complete yet
+  * parsed:null because the single full line had grown to ~3.9 KB — the
+  * tail began mid-line and no complete JSON line survived. The compact
+  * line is bounded (~700 chars even at the 8-pair max: no per-query maps,
+  * those live in the full line, the SPARK_GRAFT_BENCH_OUT tee and the
+  * `queries_file` sidecar it points at), so printed LAST it always sits
+  * whole inside the tail window.
+  *
+  * Two parts, SCALING FIRST (round-5 reorder): scaling efficiency is the
+  * one baseline bar never yet recorded in a driver artifact (r1-r4:
+  * 0.725 / 0.748 / timeout / 0.691-in-an-unparsed-tail, vs 0.877-0.879
+  * on clean builder runs), while the queries part has parsed fine for two
+  * rounds and its timings also land in the tee file — so the at-risk
+  * metric gets the fresh-box start and the guaranteed budget:
+  *   1. the north-rule scaling evidence: the full KG construction pipeline
   *      on the identical synthetic corpus at local[N] vs local[4N]
   *      (default 1 vs 4 — sandbox proxy for N vs 4N executors per
   *      BASELINE.md), each level in a fresh pinned child JVM, adaptive
   *      min-of-reps (see the rep-loop comment), reporting docs/sec at both
-  *      and efficiency = (T_N / T_4N) / 4.
+  *      and efficiency = (T_N / T_4N) / 4; its budget is the hard budget
+  *      minus a queries reserve (SPARK_GRAFT_BENCH_QUERIES_RESERVE_SEC,
+  *      default 450 — clean queries run ~215 s, loaded ~310 s);
+  *   2. headline queries from SparkEntry.queries on SPARK_GRAFT_SF_DIR at
+  *      local[SPARK_GRAFT_CPUS], load-gated at phase start so a co-tenant
+  *      burst inflates fewer of the per-query numbers.
   *
   * INDESTRUCTIBILITY CONTRACT (round-4 rework; BENCH_r03 was an rc=124
   * timeout carcass with zero numbers): this main must emit a parseable
@@ -241,7 +261,11 @@ object Bench {
         dropCaches()
         val best = (1 to math.max(passes, 1)).map { i =>
           if (i > 1) dropCaches()
-          pipelineRun(s, cores, nDocs)
+          val t = pipelineRun(s, cores, nDocs)
+          // per-pass diagnostic: pass1 - pass2 isolates the first-time-at-
+          // this-size serial cost (plan/codegen) the warm-up did not cover
+          System.err.println(f"[bench-child cores=$cores] pass $i: $t%.3f s")
+          t
         }.min
         println(f"PIPELINE_SEC $best%.3f")
       } finally s.stop()
@@ -326,12 +350,11 @@ object Bench {
     @volatile var complete = false
     val printed = new AtomicBoolean(false)
 
-    def snapshotLine(): String = {
-      val qs = queriesDone.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
-      val qLoads = queriesDone.map { case (k, _, ld) => "\"" + k + f"\":$ld%.2f" }
-        .mkString("{", ",", "}")
-      val total = queriesDone.map(_._2).filter(_ >= 0).sum
+    /** The scaling sub-object, shared by the full and compact lines.
+      * Bounded: even at the 8-pair max it stays ~500 chars (pairs are the
+      * only growing part, ~35 chars each).
+      */
+    def scalingJson(): String = {
       val ps = pairs.synchronized(pairs.toVector)
       val (tLo, tHi) =
         if (part == "queries") (1.0, 1.0)
@@ -343,8 +366,7 @@ object Bench {
       val pairsLoad = ps
         .map { case (_, _, ll, lh) => f"[$ll%.2f,$lh%.2f]" }
         .mkString("[", ",", "]")
-      val scaling =
-        f"""{"pipeline_docs":$docsUsed,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
+      f"""{"pipeline_docs":$docsUsed,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""t_lo_sec":$tLo%.3f,"t_hi_sec":$tHi%.3f,""" +
         f""""docs_per_sec_lo":${if (tLo > 0) docsUsed / tLo else -1.0}%.1f,""" +
         f""""docs_per_sec_hi":${if (tHi > 0) docsUsed / tHi else -1.0}%.1f,""" +
@@ -354,9 +376,24 @@ object Bench {
         f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
         f""""complete":$complete,""" +
         f""""pairs_lo_hi_sec":$pairsJson%s,"pairs_load1":$pairsLoad%s}"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,""" +
-        f""""queries_load1":$qLoads%s,"sf":"$sfDir%s","scaling":$scaling%s}"""
     }
+    def queriesTotal: Double = queriesDone.map(_._2).filter(_ >= 0).sum
+    def snapshotLine(): String = {
+      val qs = queriesDone.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val qLoads = queriesDone.map { case (k, _, ld) => "\"" + k + f"\":$ld%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$qs%s,""" +
+        f""""queries_load1":$qLoads%s,"sf":"$sfDir%s","scaling":${scalingJson()}%s}"""
+    }
+    /** The driver-facing line: same top-level shape minus the per-query
+      * maps (they live in the full line and the `queries_file` sidecar),
+      * so it ALWAYS fits whole inside the driver's 2,000-char stdout tail.
+      */
+    def compactLine(): String =
+      f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec",""" +
+        f""""sf":"$sfDir%s","queries_file":"$outFile%s",""" +
+        f""""queries_n":${queriesDone.size},"scaling":${scalingJson()}%s}"""
     def tee(): Unit = {
       val line = snapshotLine()
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
@@ -365,9 +402,12 @@ object Bench {
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
       }
     }
+    // full line first (humans + any harness that keeps whole stdout),
+    // compact line LAST (the one the driver's tail window must catch)
     def printOnce(): Unit =
       if (printed.compareAndSet(false, true)) {
         println(snapshotLine())
+        println(compactLine())
         System.out.flush()
       }
     // last-resort emitter: if the driver TERMs this JVM mid-run, the hook
@@ -382,70 +422,54 @@ object Bench {
       }
     }))
 
-    // part 1: headline queries. The memoized KG pipeline is built (and
-    // timed) FIRST as its own entry — otherwise the alphabetically-first
-    // kg_* query pays the whole construct DAG and per-query numbers stop
-    // meaning per-query work (round-1 attribution artifact).
-    if (part != "scaling") {
-      val spark = session(cpus)
-      val ld0 = load1
-      val build = ("kg_pipeline_build",
-        timeSec(SparkEntry.warmKg(spark, sfDir)), ld0)
-      queriesDone = Seq(build)
-      val ldSh = load1
-      val shBuild = ("dedup_shingle_build",
-        timeSec(SparkEntry.warmShingles(spark, sfDir)), ldSh)
-      queriesDone = queriesDone :+ shBuild
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val ld = load1
-        val sec = try {
-          timeSec(fn(spark, sfDir).count())
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
-        queriesDone = queriesDone :+ ((name, sec, ld))
-      }
-      spark.stop()
-    }
-    tee() // query timings are now on disk — a scaling overrun cannot
-          // destroy them (VERDICT r3 #1b)
-    System.err.println(f"[bench] queries done at t=$elapsedSec%.0fs " +
-      f"(budget $budgetSec%.0fs); entering scaling loop")
+    // queries reserve (round-5 reorder): when both parts run, the scaling
+    // loop may spend at most budget - reserve, so the queries phase keeps
+    // its clean ~215 s (loaded ~310 s) plus slack even if scaling uses its
+    // whole allowance
+    val queriesReserve =
+      if (part == "all")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_RESERVE_SEC", "450").toDouble
+      else 0.0
+    val scalingBudget = budgetSec - queriesReserve
 
-    // part 2: scaling evidence (identical code + input, two parallelism
-    // levels, one fresh JVM each; interleaved lo/hi so a contention window
-    // hits both levels symmetrically)
+    // Bounded load-gate (shared by both phases): a child spawned into a
+    // co-tenant burst measures the burst, not the engine (r4 run h
+    // 2026-08-18: the second hi child launched at load1=14.4 and the run
+    // recorded eff 0.739 where clean windows on the same code record
+    // 0.87+). Waiting a burst out costs seconds; measuring through it
+    // costs the whole pair. Before each child spawn, while load1 > 3.0,
+    // sleep 15 s — bounded per call (90 s), across the run (300 s total),
+    // and never into the headroom the caller verified (reserveSec, against
+    // phaseBudget). The 3.0 threshold also absorbs our own residual load:
+    // a just-exited 4-core child reads ~4 on load1 and decays under 3
+    // within ~30 s, so the gate doubles as a self-decay wait and every
+    // child starts from a comparable box.
+    var gateWaitTotal = 0.0
+    def loadGate(reserveSec: Double, phaseBudget: Double): Unit = {
+      var waited = 0.0
+      var ld = load1
+      while (ld > 3.0 && waited < 90.0 && gateWaitTotal < 300.0 &&
+          phaseBudget - elapsedSec > reserveSec + 30.0) {
+        Thread.sleep(15000L)
+        waited += 15.0; gateWaitTotal += 15.0
+        ld = load1
+      }
+      if (waited > 0)
+        System.err.println(f"[bench] load-gate waited $waited%.0fs " +
+          f"(load1 now $ld%.1f, total gated $gateWaitTotal%.0fs)")
+    }
+
+    // part 1: scaling evidence FIRST (identical code + input, two
+    // parallelism levels, one fresh JVM each; interleaved lo/hi so a
+    // contention window hits both levels symmetrically). Runs before the
+    // queries phase because it is the at-risk metric: in the r4 driver run
+    // the queries phase ran first under sustained load1 ≈ 10-12, consumed
+    // ~3/4 of the budget, and left room for exactly one weather-inflated
+    // pair (0.691 recorded vs 0.877-0.879 clean on identical code).
     if (part != "queries") {
       var stop = false
-      // Bounded load-gate: a child spawned into a co-tenant burst measures
-      // the burst, not the engine (r4 run h 2026-08-18: the second hi child
-      // launched at load1=14.4 and the run recorded eff 0.739 where clean
-      // windows on the same code record 0.87+). Waiting a burst out costs
-      // seconds; measuring through it costs the whole pair. Before each
-      // child spawn, while load1 > 3.0, sleep 15 s — bounded per child
-      // (90 s), across the loop (300 s total), and never into the headroom
-      // the pair-entry check verified (reserveSec). The 3.0 threshold also
-      // absorbs our own residual load: a just-exited 4-core child reads
-      // ~4 on load1 and decays under 3 within ~30 s, so the gate doubles
-      // as a self-decay wait and every child starts from a comparable box.
-      var gateWaitTotal = 0.0
-      def loadGate(reserveSec: Double): Unit = {
-        var waited = 0.0
-        var ld = load1
-        while (ld > 3.0 && waited < 90.0 && gateWaitTotal < 300.0 &&
-            budgetSec - elapsedSec > reserveSec + 30.0) {
-          Thread.sleep(15000L)
-          waited += 15.0; gateWaitTotal += 15.0
-          ld = load1
-        }
-        if (waited > 0)
-          System.err.println(f"[bench] load-gate waited $waited%.0fs " +
-            f"(load1 now $ld%.1f, total gated $gateWaitTotal%.0fs)")
-      }
       while (pairs.size < repsMax && !stop) {
-        val remaining = budgetSec - elapsedSec
+        val remaining = scalingBudget - elapsedSec
         // Head-room estimate for one more pair. Estimated from the BEST
         // child times seen so far, not the worst pair wall: a weather-
         // inflated pair must not talk the loop out of trying again once a
@@ -496,12 +520,12 @@ object Bench {
             val loPasses = if (pairs.isEmpty) 1 else 2
             val hiPasses = if (pairs.isEmpty) 1 else 3
             val loCap = if (pairs.isEmpty) 0.40 else 0.70
-            loadGate(needed)
+            loadGate(needed, scalingBudget)
             val ldLo = load1
-            val lo = childWithRetry(coresLo, docsUsed, budgetSec, loPasses, loCap)
-            loadGate(needed * 0.4)
+            val lo = childWithRetry(coresLo, docsUsed, scalingBudget, loPasses, loCap)
+            loadGate(needed * 0.4, scalingBudget)
             val ldHi = load1
-            val hi = childWithRetry(coresHi, docsUsed, budgetSec, hiPasses)
+            val hi = childWithRetry(coresHi, docsUsed, scalingBudget, hiPasses)
             pairs.synchronized { pairs += ((lo, hi, ldLo, ldHi)) }
             tee()
             val eff = (pairs.map(_._1).min / pairs.map(_._2).min) / factor
@@ -514,7 +538,7 @@ object Bench {
             stop = pairs.size >= repsFloor && eff >= effTarget && loStable
           } catch {
             case e: Throwable =>
-              val remainingNow = budgetSec - elapsedSec
+              val remainingNow = scalingBudget - elapsedSec
               if (pairs.isEmpty && docsUsed > 12500L && remainingNow > 120.0) {
                 // no pair has landed and the budget still has room: halve
                 // the corpus and try again — a 12.5k-doc pair with its size
@@ -536,10 +560,51 @@ object Bench {
         }
       }
     }
+    tee() // scaling pairs are now on disk — a queries-phase overrun cannot
+          // destroy them (the mirror of VERDICT r3 #1b, post-reorder)
+    System.err.println(f"[bench] scaling done at t=$elapsedSec%.0fs " +
+      f"(budget $budgetSec%.0fs, reserve $queriesReserve%.0fs); " +
+      f"entering queries phase")
+
+    // part 2: headline queries. The memoized KG pipeline is built (and
+    // timed) FIRST as its own entry — otherwise the alphabetically-first
+    // kg_* query pays the whole construct DAG and per-query numbers stop
+    // meaning per-query work (round-1 attribution artifact). The phase
+    // start is load-gated (reserve = a clean queries run, so the gate
+    // never spends time the phase itself needs).
+    if (part != "scaling") {
+      loadGate(250.0, budgetSec)
+      val spark = session(cpus)
+      val ld0 = load1
+      val build = ("kg_pipeline_build",
+        timeSec(SparkEntry.warmKg(spark, sfDir)), ld0)
+      queriesDone = Seq(build)
+      val ldSh = load1
+      val shBuild = ("dedup_shingle_build",
+        timeSec(SparkEntry.warmShingles(spark, sfDir)), ldSh)
+      queriesDone = queriesDone :+ shBuild
+      val ldMe = load1
+      val meBuild = ("media_features_build",
+        timeSec(SparkEntry.warmMedia(spark, sfDir)), ldMe)
+      queriesDone = queriesDone :+ meBuild
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val ld = load1
+        val sec = try {
+          timeSec(fn(spark, sfDir).count())
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+        queriesDone = queriesDone :+ ((name, sec, ld))
+      }
+      spark.stop()
+    }
     complete = true
 
-    // the ONLY stdout line (driver parses it); also teed to a file so a
-    // log-mangling harness can still recover it
+    // final stdout: full line then the compact driver-facing line (see
+    // printOnce); both states also teed to a file so a log-mangling
+    // harness can still recover everything
     tee()
     printOnce()
   }

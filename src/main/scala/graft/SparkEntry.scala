@@ -77,8 +77,15 @@ object SparkEntry {
     * synthetic chunk_id) — shared by the chunker/neighbor/doc-context
     * oracles.
     */
+  /** RE2-safe DuckDB transcription of the Tok.tokenize grammar ('' is the
+    * SQL-escaped single quote), shared by the fixed- and semantic-chunker
+    * oracles.
+    */
+  private val chunkTokPat =
+    """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
+
   private val fixedChunkCte = {
-    val tokPat = """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
+    val tokPat = chunkTokPat
     s"""p AS (
        |  SELECT doc_id, regexp_extract_all(text, '$tokPat') AS t
        |  FROM documents),
@@ -157,6 +164,27 @@ object SparkEntry {
     shingled(s, dir, 5).count()
     minhashCands(s, dir).count()
   }
+
+  /** Memoized decoded media-features table: ONE synth + decode pass serves
+    * q_media_features / q_media_resize / q_media_frames (previously each
+    * rebuilt and re-decoded the full media table from scratch — three
+    * decodes of identical input per bench run; VERDICT r4 "What's wrong"
+    * #4). Same pattern as `shingled`: the persist is the stage table an
+    * ingest job would materialize anyway.
+    */
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    shCache.computeIfAbsent(s"${s.hashCode()}:$dir:media", _ => {
+      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), KgSeed)
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
+        .persist()
+    })
+
+  /** Force the memoized media-features table (timed separately by Bench,
+    * like `warmShingles`, so the alphabetically-first media query doesn't
+    * absorb the whole decode cost).
+    */
+  def warmMedia(s: SparkSession, dir: String): Unit =
+    mediaFeatures(s, dir).count()
 
   /** KG-pipeline knobs shared with Verify's serial-oracle dump (the DuckDB
     * gate compares the engine's kg_* tables against the oracle's, so both
@@ -300,6 +328,29 @@ object SparkEntry {
       fixedChunksDf(s, dir)
         .select(col("doc_id"), col("chunk_index"), col("token_count"),
           col("chunk_text"))),
+    "q_chunk_semantic" -> ((s, dir) => {
+      // the SEMANTIC chunker (chunker.py:92-178: greedy sentence packing,
+      // suffix overlap <= 12 tokens, oversized-sentence token windows) run
+      // through the REAL SpanChunker.chunkDocSemantic kernel — and, unlike
+      // the kg_chunks row, checked against a SELF-CONTAINED DuckDB replay
+      // (recursive-CTE packer), not a serial-oracle dump (VERDICT r4 #6).
+      // Every 7th doc gets a deterministic 152-token sentence appended on
+      // BOTH engines so the oversized flush+window path is exercised too.
+      import s.implicits._
+      val cfg = SpanChunker.Config(60, 12)
+      val longSent = " " + ("zz " * 150) + "end."
+      s.read.parquet(docsPath(dir)).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text0) =>
+          val text = if (id % 7 == 0) text0 + longSent else text0
+          val doc = graft.core.Schema.DocRow(s"d$id",
+            Vector(graft.core.Schema.Span("text", text, "", 0)))
+          val meta = graft.core.Schema.DocMeta(s"d$id", "", "", "", 2020,
+            "Q1", "", 0)
+          SpanChunker.chunkDocSemantic(doc, meta, cfg)
+            .map(c => (id, c.chunk_index, c.token_count, c.text))
+        }.toDF("doc_id", "chunk_index", "token_count", "chunk_text")
+    }),
     "q_neighbors" -> ((s, dir) => {
       // ContextExpander neighbor attachment (context_expansion.py:100-121):
       // lag/lead previews over (doc_id, chunk_index) — one window, no
@@ -838,26 +889,24 @@ object SparkEntry {
     // (PPM image / RIFF-WAVE audio / YUV4MPEG2 video / CSV table; the
     // oracle dump re-derives each format's header arithmetic independently)
     "q_media_features" -> ((s, dir) => {
-      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
-      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
+      mediaFeatures(s, dir)
         .select("doc_id", "media_ref", "kind", "byte_len", "width",
           "height", "n_frames")
     }),
     "q_media_resize" -> ((s, dir) => {
-      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
+      import s.implicits._
       // maxDim 48 straddles the real decoded dims (PPM images 8..63, y4m
       // video 16..62, audio width sr/100 = 80..159, CSV tables 3..40) —
       // both resize branches (scale and pass-through) exercised
       Multimodal.resize(
-        Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)),
-        maxDim = 48)(s)
+        mediaFeatures(s, dir).as[Multimodal.MediaFeatures], maxDim = 48)(s)
         .select("doc_id", "media_ref", "width", "height",
           "out_width", "out_height")
     }),
     "q_media_frames" -> ((s, dir) => {
-      val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), 42L)
+      import s.implicits._
       Multimodal.sampleFrames(
-        Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)),
+        mediaFeatures(s, dir).as[Multimodal.MediaFeatures],
         every = 5, maxFrames = 12)
         .select("doc_id", "media_ref", "kind", "n_frames", "n_sampled")
     }))
@@ -1067,6 +1116,126 @@ object SparkEntry {
       s"""WITH $fixedChunkCte
          |SELECT doc_id, chunk_index, token_count, chunk_text
          |FROM fc""".stripMargin,
+    "q_chunk_semantic" ->
+      // SELF-CONTAINED recursive-CTE replay of the SEMANTIC packer
+      // (chunker.py:92-178 contract, SpanChunker.chunkDocSemantic):
+      //   sent  — regex sentence split (delimiter = ws run after [.!?];
+      //           lookbehind-free via marker substitution, RE2-safe),
+      //           re-numbered after empty-drop, token lists per sentence;
+      //   ovl   — per sentence i, the maximal suffix of sentences < i
+      //           totalling <= 12 tokens (the overlap seed start);
+      //   pack  — one recursion step per sentence carrying (chunk index,
+      //           open-chunk start); emits a flush record on overflow or
+      //           oversized sentence, plus a window series (stride 48,
+      //           width 60) for oversized sentences;
+      //   chunks0/schunks/wchunks — assemble chunk text (space-joined
+      //           sentences / token windows) + exact token counts.
+      // The doc_id % 7 augmentation appends a deterministic 152-token
+      // sentence on both engines so flush+window paths are exercised.
+      s"""WITH RECURSIVE
+         |docs0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' ' || repeat('zz ', 150) || 'end.'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(text, '([.!?])\\s+',
+         |      '\\1' || chr(1), 'g'), chr(1)) AS ps
+         |  FROM docs0),
+         |sraw AS (
+         |  SELECT doc_id, trim(unnest(ps)) AS s0,
+         |    unnest(range(1, len(ps) + 1)) AS pi
+         |  FROM raw),
+         |sent AS (
+         |  SELECT doc_id, s0 AS s,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pi) - 1
+         |      AS INT) AS sidx,
+         |    regexp_extract_all(s0, '$chunkTokPat') AS toks
+         |  FROM sraw WHERE s0 <> ''),
+         |scnt AS (
+         |  SELECT doc_id, sidx, s, toks, CAST(len(toks) AS INT) AS st,
+         |    CAST(sum(len(toks)) OVER (PARTITION BY doc_id ORDER BY sidx)
+         |      AS INT) AS sc
+         |  FROM sent),
+         |nsent AS (SELECT doc_id, CAST(count(*) AS INT) AS n
+         |          FROM scnt GROUP BY 1),
+         |ovl AS (
+         |  SELECT i.doc_id, i.sidx, COALESCE(MIN(j.sidx), i.sidx) AS ostart
+         |  FROM scnt i LEFT JOIN scnt j
+         |    ON j.doc_id = i.doc_id AND j.sidx < i.sidx
+         |    AND j.sidx >= i.sidx - 12
+         |    AND (i.sc - i.st) - (j.sc - j.st) <= 12
+         |  GROUP BY 1, 2),
+         |pack AS (
+         |  SELECT doc_id, 0 AS i, 0 AS cidx, 0 AS cstart,
+         |    CAST(NULL AS INT) AS e_cidx, CAST(NULL AS INT) AS e_from,
+         |    CAST(NULL AS INT) AS e_to,
+         |    CAST(NULL AS INT) AS w_sent, CAST(NULL AS INT) AS w_cidx0,
+         |    CAST(NULL AS INT) AS w_n
+         |  FROM nsent
+         |  UNION ALL
+         |  SELECT p.doc_id, p.i + 1,
+         |    CASE WHEN s.st > 60 THEN
+         |      (CASE WHEN p.cstart <= p.i - 1 THEN p.cidx + 1
+         |            ELSE p.cidx END) + CAST(ceil(s.st / 48.0) AS INT)
+         |    WHEN p.cstart <= p.i - 1 AND s.sc - COALESCE(cb.cb, 0) > 60
+         |      THEN p.cidx + 1
+         |    ELSE p.cidx END AS cidx,
+         |    CASE WHEN s.st > 60 THEN p.i + 1
+         |    WHEN p.cstart <= p.i - 1 AND s.sc - COALESCE(cb.cb, 0) > 60
+         |      THEN GREATEST(p.cstart, o.ostart)
+         |    WHEN p.cstart > p.i THEN p.i
+         |    ELSE p.cstart END AS cstart,
+         |    CASE WHEN (s.st > 60 OR s.sc - COALESCE(cb.cb, 0) > 60)
+         |          AND p.cstart <= p.i - 1 THEN p.cidx END AS e_cidx,
+         |    CASE WHEN (s.st > 60 OR s.sc - COALESCE(cb.cb, 0) > 60)
+         |          AND p.cstart <= p.i - 1 THEN p.cstart END AS e_from,
+         |    CASE WHEN (s.st > 60 OR s.sc - COALESCE(cb.cb, 0) > 60)
+         |          AND p.cstart <= p.i - 1 THEN p.i - 1 END AS e_to,
+         |    CASE WHEN s.st > 60 THEN p.i END AS w_sent,
+         |    CASE WHEN s.st > 60 THEN
+         |      (CASE WHEN p.cstart <= p.i - 1 THEN p.cidx + 1
+         |            ELSE p.cidx END) END AS w_cidx0,
+         |    CASE WHEN s.st > 60 THEN CAST(ceil(s.st / 48.0) AS INT)
+         |      END AS w_n
+         |  FROM pack p
+         |  JOIN scnt s ON s.doc_id = p.doc_id AND s.sidx = p.i
+         |  JOIN ovl o ON o.doc_id = p.doc_id AND o.sidx = p.i
+         |  LEFT JOIN (SELECT doc_id, sidx, sc - st AS cb FROM scnt) cb
+         |    ON cb.doc_id = p.doc_id AND cb.sidx = p.cstart
+         |),
+         |fin AS (
+         |  SELECT p.doc_id, p.cidx, p.cstart, n.n
+         |  FROM pack p JOIN nsent n ON n.doc_id = p.doc_id
+         |  WHERE p.i = n.n AND p.cstart <= n.n - 1),
+         |chunks0 AS (
+         |  SELECT doc_id, e_cidx AS cidx, e_from AS f, e_to AS t
+         |  FROM pack WHERE e_cidx IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, cidx, cstart, n - 1 FROM fin),
+         |schunks AS (
+         |  SELECT c.doc_id, c.cidx, CAST(sum(s.st) AS INT) AS token_count,
+         |    string_agg(s.s, ' ' ORDER BY s.sidx) AS chunk_text
+         |  FROM chunks0 c JOIN scnt s
+         |    ON s.doc_id = c.doc_id AND s.sidx BETWEEN c.f AND c.t
+         |  GROUP BY 1, 2),
+         |wchunks AS (
+         |  SELECT p.doc_id, p.w_cidx0 + u.k AS cidx,
+         |    CAST(len(list_slice(s.toks, u.k * 48 + 1, u.k * 48 + 60))
+         |      AS INT) AS token_count,
+         |    array_to_string(
+         |      list_slice(s.toks, u.k * 48 + 1, u.k * 48 + 60), ' ')
+         |      AS chunk_text
+         |  FROM pack p
+         |  JOIN scnt s ON s.doc_id = p.doc_id AND s.sidx = p.w_sent,
+         |  LATERAL (SELECT unnest(range(0, p.w_n)) AS k) u
+         |  WHERE p.w_sent IS NOT NULL)
+         |SELECT doc_id, CAST(cidx AS INT) AS chunk_index, token_count,
+         |  chunk_text
+         |FROM (SELECT * FROM schunks UNION ALL SELECT * FROM wchunks)"""
+        .stripMargin,
     "q_neighbors" ->
       s"""WITH $fixedChunkCte
          |SELECT chunk_id, doc_id, chunk_index,
@@ -1635,19 +1804,55 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5 FROM documents""".stripMargin,
     "q_entropy" ->
-      // integer micro-nats: per-term round to BIGINT, integer sum — exact
-      // across engines (see TextAnalysis.tokenEntropy)
-      """WITH toks AS (
+      // integer micro-nats with NO floating point: the recursive CTEs
+      // below are DuckDB's transcription of the exact integer fixed-point
+      // log spec in TextAnalysis.lnQ30 (normalize to [2^30,2^31) counting
+      // the exponent, 30 shift-and-square steps for the fraction, one
+      // HUGEINT multiply by round(ln2*2^30)), then the identical per-term
+      // integer rounding — bit-equal to Spark by construction, no libm
+      """WITH RECURSIVE toks AS (
         |  SELECT doc_id, unnest(list_filter(
         |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |ks AS (
+        |  -- DISTINCT over UNION ALL, not plain UNION: under WITH RECURSIVE
+        |  -- DuckDB (1.0.0) treats a CTE whose top level is a UNION as
+        |  -- recursive anchor/step and does NOT dedup across the branches,
+        |  -- so a k present as both a term count and a doc length came out
+        |  -- twice and the logtab join double-counted those terms
+        |  SELECT DISTINCT k FROM (
+        |    SELECT CAST(c AS BIGINT) AS k FROM tf
+        |    UNION ALL SELECT n AS k FROM n)),
+        |norm AS (
+        |  SELECT k, k * 1073741824 AS m, 0 AS e FROM ks
+        |  UNION ALL
+        |  SELECT k, m // 2, e + 1 FROM norm WHERE m >= 2147483648),
+        |normed AS (SELECT k, m, e FROM norm WHERE m < 2147483648),
+        |sq AS (
+        |  SELECT k, m, e, 0 AS j, CAST(0 AS BIGINT) AS f FROM normed
+        |  UNION ALL
+        |  SELECT k,
+        |    CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |         THEN ((m * m) // 1073741824) // 2
+        |         ELSE (m * m) // 1073741824 END,
+        |    e, j + 1,
+        |    CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |         THEN f * 2 + 1 ELSE f * 2 END
+        |  FROM sq WHERE j < 30),
+        |logtab AS (
+        |  SELECT k, CAST((CAST(e AS HUGEINT) * 1073741824 + f) * 744261118
+        |    // 1073741824 AS BIGINT) AS lnq30
+        |  FROM sq WHERE j = 30),
         |h AS (
-        |  SELECT doc_id, n,
-        |    CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
-        |      * 1000000.0) AS BIGINT) AS h_unats
-        |  FROM tf JOIN n USING (doc_id))
+        |  SELECT tf.doc_id, n.n,
+        |    (2 * tf.c * (((ln_n.lnq30 - ln_c.lnq30) * 15625) // 16777216)
+        |      + n.n) // (2 * n.n) AS h_unats
+        |  FROM tf
+        |  JOIN n USING (doc_id)
+        |  JOIN logtab ln_c ON ln_c.k = tf.c
+        |  JOIN logtab ln_n ON ln_n.k = n.n)
         |SELECT doc_id, any_value(n) AS n_tokens,
         |  CAST(sum(h_unats) AS BIGINT) AS entropy_unats
         |FROM h GROUP BY 1""".stripMargin,

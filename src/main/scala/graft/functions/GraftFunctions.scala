@@ -52,6 +52,15 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "sign_lsh(embedding, planes) takes two arguments")
           SignLsh(args(0), planesOf(args(1)))
+        }),
+      (FunctionIdentifier("sparse_dot"),
+        info(classOf[SparseDot], "sparse_dot",
+          "sparse_dot(idx1, val1, idx2, val2) - dot product of two sorted " +
+            "sparse vectors (array<int> indices, array<double> values)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4,
+            "sparse_dot(idx1, val1, idx2, val2) takes four arguments")
+          SparseDot(args(0), args(1), args(2), args(3))
         }))
 
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Cols
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Sparse-vector dot product over (sorted index array, value array) pairs
+  * as a native Catalyst expression with whole-stage codegen — the
+  * entity-linking similarity kernel (Linker.candidates).
+  *
+  * This is the engine's hottest scalar: a blocking bucket of B entities
+  * evaluates up to B² of these (the round-5 profile caught a near-cap
+  * MONEY bucket at 1-core doing ~10^8 evaluations — 434 s as a Scala UDF
+  * whose per-call cost is dominated by boxing four Seqs, ~10 s as this
+  * expression reading unsafe array data in place).
+  *
+  * The merge loop is the IDENTICAL index-order walk as
+  * [[graft.link.NameFeatures.dot]] — same adds in the same order, so the
+  * produced doubles are bit-equal to the serial oracle's and the kg gate's
+  * hash compare is unaffected.
+  */
+case class SparseDot(i1: Expression, v1: Expression,
+    i2: Expression, v2: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = i1
+  override def second: Expression = v1
+  override def third: Expression = i2
+  override def fourth: Expression = v2
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (i1.dataType, v1.dataType, i2.dataType, v2.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _),
+            ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sparse_dot requires (array<int>, array<double>) x2, got $other")
+    }
+
+  override def prettyName: String = "sparse_dot"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SparseDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.SparseDot.compute($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SparseDot =
+    copy(i1 = newFirst, v1 = newSecond, i2 = newThird, v2 = newFourth)
+}
+
+object SparseDot {
+
+  /** Plain two-pointer merge over unsafe array data — no boxing,
+    * codegen-callable, add-order identical to NameFeatures.dot.
+    */
+  def compute(ai: ArrayData, av: ArrayData,
+      bi: ArrayData, bv: ArrayData): Double = {
+    val an = ai.numElements()
+    val bn = bi.numElements()
+    var i = 0
+    var j = 0
+    var s = 0.0
+    while (i < an && j < bn) {
+      val x = ai.getInt(i)
+      val y = bi.getInt(j)
+      if (x == y) { s += av.getDouble(i) * bv.getDouble(j); i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  /** Column wrapper. */
+  def sparseDot(i1: Column, v1: Column, i2: Column, v2: Column): Column =
+    Cols.ofExpr(SparseDot(Cols.exprOf(i1), Cols.exprOf(v1),
+      Cols.exprOf(i2), Cols.exprOf(v2)))
+}

@@ -227,13 +227,14 @@ object SpanChunker {
   def chunkSynth(spark: SparkSession, nDocs: Long, seed: Long, cfg: Config,
       partitions: Int = 0): Dataset[ChunkRow] = {
     import spark.implicits._
-    val parts = if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism
-    spark.range(0, nDocs, 1, parts).mapPartitions { it =>
-      it.flatMap { i =>
-        val (doc, meta) = CorpusSynth.genDoc(seed, i)
-        chunkDoc(doc, meta, cfg)
-      }
-    }
+    // docIds (closure-captured size), not spark.range (size literal in the
+    // generated code) — see CorpusSynth.docIds
+    spark.createDataset(CorpusSynth.docIds(spark, nDocs, partitions)
+      .mapPartitions { it =>
+        it.flatMap { i =>
+          val (doc, meta) = CorpusSynth.genDoc(seed, i)
+          chunkDoc(doc, meta, cfg)
+        }
+      })
   }
 }

@@ -55,16 +55,12 @@ object Linker {
     (i.toSeq, v.toSeq)
   }
 
-  private val dotUdf = udf {
-    (ai: Seq[Int], av: Seq[Double], bi: Seq[Int], bv: Seq[Double]) =>
-      var i = 0; var j = 0; var s = 0.0
-      while (i < ai.length && j < bi.length) {
-        if (ai(i) == bi(j)) { s += av(i) * bv(j); i += 1; j += 1 }
-        else if (ai(i) < bi(j)) i += 1
-        else j += 1
-      }
-      s
-  }
+  // the pair-stream dot product is graft.functions.SparseDot — a native
+  // codegen expression, NOT a UDF: a near-cap bucket evaluates up to
+  // maxBucketSize² of these, and the UDF this replaced paid ~4 µs/call in
+  // Seq boxing (measured 434 s for one 10^8-pair bucket at 1 core; the
+  // native kernel reads unsafe array data in place, same add order, so
+  // values stay bit-equal to NameFeatures.dot and the serial oracle)
 
   /** Candidate generation via blocking keys. Input must have columns
     * (entity_id, name, entity_type). Output: (id1, name1, id2, name2,
@@ -147,14 +143,15 @@ object Linker {
       .join(feats.select(col("entity_id").as("id2f"),
         col("feat._1").as("fi2"), col("feat._2").as("fv2")),
         col("id2") === col("id2f"))
-      .withColumn("emb_sim", dotUdf(col("fi1"), col("fv1"), col("fi2"), col("fv2")))
+      .withColumn("emb_sim", graft.functions.SparseDot.sparseDot(
+        col("fi1"), col("fv1"), col("fi2"), col("fv2")))
       .where(col("emb_sim") >= lit(blockSlack))
       .select(col("id1"), col("name1"), col("id2"), col("name2"),
         col("entity_type"), col("emb_sim"))
     // dedup + per-entity top-10 in ONE shuffle on id1 (was distinct() then
     // a row_number window — two full wide exchanges of the pair stream):
     // collect_set removes the multi-blocking-key duplicates (the same pair
-    // reached via 2-3 keys is bit-identical — dotUdf is deterministic);
+    // reached via 2-3 keys is bit-identical — SparseDot is deterministic);
     // array_sort on struct(-emb_sim, id2) realizes the reference ranking
     // (sim desc, partner id asc); slice caps at MaxCandidatesPerEntity.
     // Bounded state: an entity sits in <= 3 buckets of <= maxBucketSize, so

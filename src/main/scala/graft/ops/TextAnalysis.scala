@@ -349,32 +349,78 @@ object TextAnalysis {
         round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
         round(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"))
 
+  /** Deterministic integer fixed-point natural log: lnQ30(k) ≈ ln(k)·2^30
+    * computed with EXACT 64-bit-integer shift-and-square arithmetic (the
+    * only wide step, the final ln2 multiply, goes through BigInt — DuckDB
+    * mirrors it with HUGEINT). The point is not accuracy (it is accurate
+    * to ~2^-26 nats ≈ 0.015 µnats anyway, asserted in EventsSpec) but
+    * CROSS-ENGINE BIT-EQUALITY: every operation below is integer add,
+    * multiply, or floor-division, so any engine that transcribes this
+    * spec — the q_entropy oracle does, as a recursive CTE over
+    * BIGINT/HUGEINT — produces the identical table with no libm/ulp
+    * dependence at all.
+    *
+    * Spec (k ≥ 1; all divisions floor on non-negative values):
+    *   1. m = k·2^30; while m ≥ 2^31: m = m div 2, e += 1   (m ∈ [2^30,2^31))
+    *   2. 30×: m = (m·m) div 2^30;
+    *           if m ≥ 2^31 then { f = 2f+1; m = m div 2 } else f = 2f
+    *   3. lnQ30 = ((e·2^30 + f) · 744261118) div 2^30
+    *      (744261118 = round(ln 2 · 2^30); the product needs 128 bits)
+    */
+  private[graft] def lnQ30(k: Long): Long = {
+    require(k >= 1 && k <= (1L << 33),
+      s"lnQ30 domain is [1, 2^33], got $k")
+    var m = k << 30
+    var e = 0L
+    while (m >= (1L << 31)) { m >>= 1; e += 1 }
+    var f = 0L
+    var j = 0
+    while (j < 30) {
+      m = (m * m) >> 30
+      if (m >= (1L << 31)) { f = f * 2 + 1; m >>= 1 } else f = f * 2
+      j += 1
+    }
+    (((BigInt(e) << 30) + f) * 744261118L >> 30).toLong
+  }
+
   /** Token-distribution entropy per doc — the diversity signal quality
     * filters use to drop keyword-stuffed / boilerplate pages (low entropy)
     * without reading the text twice. H = -Σ p·ln(p) over the whitespace
-    * unigram distribution, emitted in integer MICRO-nats: each term's
-    * contribution is rounded to a bigint before the sum, so the SUM is
-    * exact integer arithmetic — immune to float summation order and to
-    * decimal round-at-boundary disagreements between engines (a 4dp float
-    * sum of 6dp-rounded terms lands exactly on a .5 boundary for ~1% of
-    * docs). Residual cross-engine dependency: the per-term value itself
-    * still goes through Math.log vs DuckDB's ln before its round — a
-    * 1-ulp divergence flips h_unats by 1 only when -(c/n)·ln(c/n)·1e6
-    * falls within ~1e-10 of a .5 boundary, which no (c, n) on the test
-    * corpora does, but it is not impossible on an adversarial corpus.
-    * Same two-shuffle shape as tf-idf: (doc_id, term) counts with
-    * map-side combine, then a doc_id rollup.
+    * unigram distribution, emitted in integer MICRO-nats with NO floating
+    * point anywhere on the measured path (round 5; through r4 the per-term
+    * value went through Math.log vs DuckDB ln before its round, a
+    * documented theoretical 1-ulp/.5-boundary flake): per term,
+    *   ΔI  = lnQ30(n) − lnQ30(c)                  (= ln(n/c)·2^30)
+    *   ΔIµ = (ΔI·15625) div 2^24                  (= ln(n/c) in µnats;
+    *                                               15625/2^24 = 10^6/2^30)
+    *   h   = (2·c·ΔIµ + n) div (2·n)              (= round(c·ΔIµ/n))
+    * then an exact integer SUM per doc — immune to float summation order,
+    * decimal .5 boundaries AND libm ulp differences, because both engines
+    * run the identical integer spec ([[lnQ30]]; the oracle's recursive
+    * CTE). Worst-case deviation from true −(c/n)ln(c/n)·10^6 is ~1.6 µnats
+    * per term (table ~0.02, ΔIµ floor < 1, final round ≤ 0.5).
+    *
+    * Shape: same two shuffles as tf-idf ((doc_id, term) counts with
+    * map-side combine, then a doc_id rollup) plus one BROADCAST join of
+    * the log table over distinct counts (bounded by max tokens per doc).
+    * lnQ30 runs as a typed UDF only over those tiny distinct tables —
+    * the hot per-(doc,term) path stays codegen'd integer column algebra.
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("c"))
+    val lnU = udf((k: Long) => lnQ30(k))
     val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      .withColumn("ln_n_q30", lnU(col("n")))
+    val cTab = tf.select(col("c")).distinct()
+      .withColumn("ln_c_q30", lnU(col("c")))
     tf.join(n, "doc_id")
-      .select(col("doc_id"), col("n"),
-        round(-(col("c") / col("n")) * log(col("c") / col("n")) * 1000000.0)
-          .cast("long").as("h_unats"))
+      .join(broadcast(cTab), "c")
+      .selectExpr("doc_id", "n",
+        "(2 * c * (((ln_n_q30 - ln_c_q30) * 15625) div 16777216) + n) " +
+          "div (2 * n) AS h_unats")
       .groupBy(col("doc_id"))
       .agg(first(col("n")).as("n_tokens"),
         sum(col("h_unats")).as("entropy_unats"))

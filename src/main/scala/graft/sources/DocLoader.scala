@@ -17,11 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text: strict UTF-8 with latin-1 fallback (`:202-227`);
   *   - HTML: script/style/comment removal + BS4-style `get_text("\n",
   *     strip=True)` + blank-line cleanup (`:169-200`);
-  *   - markdown: markdown→HTML→text, the reference's own composition
+  *   - markdown: markdown→HTML→text, the reference's pipeline SHAPE
   *     (`:142-167` uses `markdown.markdown` then BeautifulSoup) — here a
   *     deterministic mini-renderer for the common constructs (headings,
   *     paragraphs, lists, blockquotes, fenced code, bold/em/inline-code/
-  *     links) feeding the same HTML text extractor;
+  *     links) feeding the same HTML text extractor. Two INTENTIONAL
+  *     deviations from the reference: (a) fenced ``` code blocks are
+  *     supported (vanilla `markdown.markdown` without extensions leaves
+  *     them as paragraphs); (b) md/html files get the same lenient
+  *     latin-1 decode fallback as .txt, where the reference opens .md/
+  *     .html strict-UTF-8 and raises on bad bytes — a decode error should
+  *     be an error ROW here, not a killed partition;
   *   - PDF: object/stream scan, `/FlateDecode` inflation via
   *     `java.util.zip.Inflater`, and Tj/TJ/'/" text-operator extraction
   *     with PDF string escapes — per-stream error tolerance mirroring the
@@ -64,9 +70,60 @@ object DocLoader {
   private val DecEntityRe = "&#(\\d{1,7});".r
   private val HexEntityRe = "&#[xX]([0-9a-fA-F]{1,6});".r
 
-  /** Decode the common named + numeric character references. `&amp;` is
-    * handled by the same single left-to-right pass, so `&amp;lt;` decodes
-    * to the literal `&lt;` exactly once (no double-decode).
+  /** The complete HTML 4.01 named-entity set (252 names): the Latin-1
+    * block maps IN ORDER to code points 160–255 (that is the HTML 4 spec's
+    * own layout), then the markup-significant, latin-extended, typographic,
+    * Greek, and symbol names carry explicit code points. Covers what
+    * real-world HTML uses (&eacute; &mdash; &hellip; …); HTML5-only names
+    * (e.g. &CounterClockwiseContourIntegral;) are intentionally out —
+    * DocLoaderSpec pins the chosen subset.
+    */
+  private[graft] val NamedEntities: Map[String, String] = {
+    val latin1 = ("nbsp iexcl cent pound curren yen brvbar sect uml copy " +
+      "ordf laquo not shy reg macr deg plusmn sup2 sup3 acute micro para " +
+      "middot cedil sup1 ordm raquo frac14 frac12 frac34 iquest Agrave " +
+      "Aacute Acirc Atilde Auml Aring AElig Ccedil Egrave Eacute Ecirc " +
+      "Euml Igrave Iacute Icirc Iuml ETH Ntilde Ograve Oacute Ocirc " +
+      "Otilde Ouml times Oslash Ugrave Uacute Ucirc Uuml Yacute THORN " +
+      "szlig agrave aacute acirc atilde auml aring aelig ccedil egrave " +
+      "eacute ecirc euml igrave iacute icirc iuml eth ntilde ograve " +
+      "oacute ocirc otilde ouml divide oslash ugrave uacute ucirc uuml " +
+      "yacute thorn yuml").split(' ').zip(160 to 255)
+    val rest = ("quot 34 amp 38 lt 60 gt 62 apos 39 OElig 338 oelig 339 " +
+      "Scaron 352 scaron 353 Yuml 376 fnof 402 circ 710 tilde 732 " +
+      "Alpha 913 Beta 914 Gamma 915 Delta 916 Epsilon 917 Zeta 918 " +
+      "Eta 919 Theta 920 Iota 921 Kappa 922 Lambda 923 Mu 924 Nu 925 " +
+      "Xi 926 Omicron 927 Pi 928 Rho 929 Sigma 931 Tau 932 Upsilon 933 " +
+      "Phi 934 Chi 935 Psi 936 Omega 937 alpha 945 beta 946 gamma 947 " +
+      "delta 948 epsilon 949 zeta 950 eta 951 theta 952 iota 953 " +
+      "kappa 954 lambda 955 mu 956 nu 957 xi 958 omicron 959 pi 960 " +
+      "rho 961 sigmaf 962 sigma 963 tau 964 upsilon 965 phi 966 chi 967 " +
+      "psi 968 omega 969 thetasym 977 upsih 978 piv 982 ensp 8194 " +
+      "emsp 8195 thinsp 8201 zwnj 8204 zwj 8205 lrm 8206 rlm 8207 " +
+      "ndash 8211 mdash 8212 lsquo 8216 rsquo 8217 sbquo 8218 ldquo 8220 " +
+      "rdquo 8221 bdquo 8222 dagger 8224 Dagger 8225 bull 8226 " +
+      "hellip 8230 permil 8240 prime 8242 Prime 8243 lsaquo 8249 " +
+      "rsaquo 8250 oline 8254 frasl 8260 euro 8364 weierp 8472 " +
+      "image 8465 real 8476 trade 8482 alefsym 8501 larr 8592 uarr 8593 " +
+      "rarr 8594 darr 8595 harr 8596 crarr 8629 lArr 8656 uArr 8657 " +
+      "rArr 8658 dArr 8659 hArr 8660 forall 8704 part 8706 exist 8707 " +
+      "empty 8709 nabla 8711 isin 8712 notin 8713 ni 8715 prod 8719 " +
+      "sum 8721 minus 8722 lowast 8727 radic 8730 prop 8733 infin 8734 " +
+      "ang 8736 and 8743 or 8744 cap 8745 cup 8746 int 8747 there4 8756 " +
+      "sim 8764 cong 8773 asymp 8776 ne 8800 equiv 8801 le 8804 ge 8805 " +
+      "sub 8834 sup 8835 nsub 8836 sube 8838 supe 8839 oplus 8853 " +
+      "otimes 8855 perp 8869 sdot 8901 lceil 8968 rceil 8969 lfloor 8970 " +
+      "rfloor 8971 lang 9001 rang 9002 loz 9674 spades 9824 clubs 9827 " +
+      "hearts 9829 diams 9830").split(' ').grouped(2)
+      .map(a => a(0) -> a(1).toInt).toVector
+    (latin1 ++ rest)
+      .map { case (n, cp) => n -> new String(Character.toChars(cp)) }.toMap
+  }
+
+  /** Decode named + numeric character references (named set =
+    * [[NamedEntities]]). `&amp;` is handled by the same single
+    * left-to-right pass, so `&amp;lt;` decodes to the literal `&lt;`
+    * exactly once (no double-decode).
     */
   private[sources] def decodeEntities(s: String): String = {
     val out = new java.lang.StringBuilder(s.length)
@@ -75,25 +132,27 @@ object DocLoader {
       val c = s.charAt(i)
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
+        // 9 = the longest HTML4 name ("thetasym") plus the ';'
         if (semi > i && semi - i <= 9) {
-          s.substring(i, semi + 1) match {
-            case "&amp;" => out.append('&'); i = semi + 1
-            case "&lt;" => out.append('<'); i = semi + 1
-            case "&gt;" => out.append('>'); i = semi + 1
-            case "&quot;" => out.append('"'); i = semi + 1
-            case "&apos;" | "&#39;" => out.append('\''); i = semi + 1
-            case "&nbsp;" => out.append('\u00a0'); i = semi + 1
-            case ref @ DecEntityRe(d) =>
-              val cp = d.toLong
-              if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
-                out.appendCodePoint(cp.toInt); i = semi + 1
-              } else { out.append(ref); i = semi + 1 }
-            case HexEntityRe(h) =>
-              val cp = java.lang.Long.parseLong(h, 16)
-              if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
-                out.appendCodePoint(cp.toInt); i = semi + 1
-              } else { out.append(s.substring(i, semi + 1)); i = semi + 1 }
-            case _ => out.append(c); i += 1
+          val name = s.substring(i + 1, semi)
+          NamedEntities.get(name) match {
+            case Some(rep) => out.append(rep); i = semi + 1
+            case None =>
+              s.substring(i, semi + 1) match {
+                case ref @ DecEntityRe(d) =>
+                  val cp = d.toLong
+                  if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
+                    out.appendCodePoint(cp.toInt); i = semi + 1
+                  } else { out.append(ref); i = semi + 1 }
+                case HexEntityRe(h) =>
+                  val cp = java.lang.Long.parseLong(h, 16)
+                  if (cp > 0 && cp <= Character.MAX_CODE_POINT) {
+                    out.appendCodePoint(cp.toInt); i = semi + 1
+                  } else {
+                    out.append(s.substring(i, semi + 1)); i = semi + 1
+                  }
+                case _ => out.append(c); i += 1
+              }
           }
         } else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
@@ -215,10 +274,13 @@ object DocLoader {
     out.toString
   }
 
-  /** markdown → plain text via the HTML path, exactly the reference's
-    * composition (`document_loader.py:155-161`). Inline markup introduces
+  /** markdown → plain text via the HTML path, the reference's composition
+    * SHAPE (`document_loader.py:155-161`). Inline markup introduces
     * text-node boundaries, so `a **b** c` reads back as "a\nb\nc" — the
     * same behavior `markdown.markdown` + `get_text("\n")` exhibits.
+    * Deviation (intentional, see the object doc): fenced code blocks are
+    * rendered as `<pre><code>`, which vanilla extension-less
+    * `markdown.markdown` would not do.
     */
   def markdownToText(md: String): String = htmlToText(markdownToHtml(md))
 
@@ -289,12 +351,24 @@ object DocLoader {
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) sys.error("truncated deflate stream")
-      out.write(buf, 0, n)
-    }
-    inf.end()
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // ANY zero-progress state on an unfinished stream is an error, not
+        // just needsInput: a stream demanding a preset dictionary
+        // (needsDictionary) — or any other stall — would otherwise spin
+        // this loop forever and hang the executor task instead of becoming
+        // the error row the per-file tolerance contract promises
+        if (n == 0 && !inf.finished()) {
+          if (inf.needsDictionary())
+            sys.error("deflate stream requires a preset dictionary")
+          else if (inf.needsInput())
+            sys.error("truncated deflate stream")
+          else sys.error("deflate stream stalled without progress")
+        }
+        out.write(buf, 0, n)
+      }
+    } finally inf.end()
     out.toByteArray
   }
 
@@ -337,7 +411,10 @@ object DocLoader {
         if (text.nonEmpty) pages += text
         pos = dataStart + len
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError / LinkageError must propagate
+        // and fail the task, not be laundered into a skipped page on a
+        // corrupted JVM
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[docloader] skipping unreadable pdf stream: " +
             s"${e.getMessage}")
           pos += "stream".length
@@ -376,7 +453,10 @@ object DocLoader {
         val ext = if (dot >= 0) fname.substring(dot + 1).toLowerCase else ""
         try (fname, ext, len, decodeFile(ext, bytes), null: String)
         catch {
-          case e: Throwable => (fname, ext, len, null: String, e.getMessage)
+          // NonFatal only (see pdfToText): fatal JVM errors must fail the
+          // task rather than silently become error rows
+          case scala.util.control.NonFatal(e) =>
+            (fname, ext, len, null: String, e.getMessage)
         }
       }
       .toDF("filename", "ext", "byte_len", "text", "error")

@@ -52,6 +52,22 @@ class DocLoaderSpec extends AnyFunSuite {
     assert(DocLoader.htmlToText("<p>&nbsp;</p><p>a</p>") === "a")
   }
 
+  test("decodeEntities: full HTML4 named set (pinning the chosen subset)") {
+    // real-world names the synthetic fixture never contains — the exact
+    // divergence ADVICE r4 flagged; BS4 decodes all of these
+    assert(DocLoader.htmlToText("<p>caf&eacute; &mdash; d&eacute;j&agrave; vu&hellip;</p>")
+      === "café — déjà vu…")
+    assert(DocLoader.htmlToText("<p>&copy; 2026 &middot; 5&nbsp;&euro; &ndash; &frac12;&deg;</p>")
+      === "© 2026 · 5 € – ½°")
+    assert(DocLoader.htmlToText("<p>&ldquo;x&rdquo; &rsquo; &alpha;&Omega; &le;&ne;&infin;</p>")
+      === "“x” ’ αΩ ≤≠∞")
+    // the table is the complete HTML 4.01 set: 96 latin-1 + markup/symbol
+    assert(DocLoader.NamedEntities.size === 253) // 252 HTML4 + apos
+    assert(DocLoader.NamedEntities("thetasym") === "ϑ")
+    // unknown names (HTML5-only) pass through untouched — documented gap
+    assert(DocLoader.htmlToText("<p>a&langle;b</p>") === "a&langle;b")
+  }
+
   // ---- unit: markdown → HTML → text (document_loader.py:142-167) ------
 
   test("markdownToText: headings, inline markup, lists, quotes, fences") {
@@ -88,20 +104,45 @@ class DocLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("%PDF-"))
   }
 
-  test("pdfToText: tolerates one corrupt stream, keeps the rest") {
-    // build a valid fixture pdf, then truncate the FIRST stream's deflate
-    // data in place (keep /Length so the slice is wrong-but-in-bounds)
-    val f = DocLoader.genFiles(8, seed = 5L).find(_.ext == "pdf").get
+  test("pdfToText: tolerates one corrupt stream, keeps the rest VERBATIM") {
+    // pick a fixture pdf with >= 2 pages so the tolerance path is actually
+    // exercised (a 1-page doc would make every assertion vacuous), then
+    // truncate the FIRST stream's deflate data in place (keep /Length so
+    // the slice is wrong-but-in-bounds)
+    val f = DocLoader.genFiles(60, seed = 5L)
+      .find(x => x.ext == "pdf" && x.expectedText.contains("\n\n"))
+      .getOrElse(fail("fixture generator produced no multi-page pdf"))
+    val expectedPages = f.expectedText.split("\n\n")
+    assert(expectedPages.length >= 2)
     val s = new String(f.bytes, StandardCharsets.ISO_8859_1)
     val at = s.indexOf("stream\n") + "stream\n".length
     val corrupted = f.bytes.clone()
     // zero 8 bytes of deflate payload → that stream fails, others survive
     (at until math.min(at + 8, corrupted.length)).foreach(corrupted(_) = 0)
     val got = DocLoader.pdfToText(corrupted)
-    val expectedPages = f.expectedText.split("\n\n")
-    // first page lost, remaining pages still extracted
-    assert(expectedPages.length < 2 || got.nonEmpty)
+    // page 1 is lost; the SURVIVING pages come back byte-identical — the
+    // reference's per-page try/except keeps good pages untouched
+    // (document_loader.py:123-129)
+    assert(got === expectedPages.tail.mkString("\n\n"))
     assert(!got.contains(expectedPages.head.linesIterator.next()))
+  }
+
+  test("pdfToText: malformed xref table does not affect extraction") {
+    // the extractor scans object streams directly and never trusts xref;
+    // a real-world PDF with a corrupt xref (the classic salvage case —
+    // PdfReader(strict=False) territory) must still yield every page.
+    // The fixture's streams mix Tj, TJ kerning arrays and escaped parens,
+    // so all three text-operator paths run through the salvage too.
+    val f = DocLoader.genFiles(60, seed = 5L)
+      .find(x => x.ext == "pdf" && x.expectedText.contains("\n\n")).get
+    val s = new String(f.bytes, StandardCharsets.ISO_8859_1)
+    val xrefAt = s.lastIndexOf("xref")
+    assert(xrefAt > 0)
+    val corrupted = f.bytes.clone()
+    // scramble the whole xref entry block (offsets become garbage digits)
+    ((xrefAt + 4) until math.min(xrefAt + 64, corrupted.length))
+      .foreach(corrupted(_) = '9'.toByte)
+    assert(DocLoader.pdfToText(corrupted) === f.expectedText)
   }
 
   // ---- generator-vs-parser round trip over the whole fixture ----------
