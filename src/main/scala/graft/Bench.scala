@@ -231,28 +231,22 @@ object Bench {
       // measured pass starts from a clean block manager.
       val cores = args(1).toInt
       val nDocs = args(2).toLong
-      // measured passes after warm-up (min is reported): 1 for the
-      // guaranteed-to-land first pair; later pairs take 2 (lo) / 3 (hi)
-      // — one JVM spawn buying extra clean-window samples, weighted
-      // toward the hi level because its passes are ~4x cheaper and its
-      // spread is the one the efficiency min() usually waits on.
-      // The same-JVM distortion measured in r2/r3 was CROSS-LEVEL (the
-      // second level inheriting the first level's tenured garbage); within
-      // one level a repeat pass is the same workload on a heap the first
-      // pass already sized — measured equal-or-faster, never the 2x
-      // pathology. (A fixed 2-pass child was tried and backfired: under
-      // the 2026-08-18 extreme-weather window the doubled lo child pushed
-      // the hi child past its deadline and the run recorded ZERO pairs.)
+      // measured passes after warm-up (min is reported). The scaling loop
+      // now always passes 1 (round 5): multi-pass children existed to
+      // dodge the size-literal codegen recompiles pass 1 used to pay; the
+      // RDD-closure corpus generator (CorpusSynth.docIds) removed those,
+      // and measured per-pass, pass 1 is now always the fastest — later
+      // same-JVM passes only degrade (lo 206→284 s, hi 50→57→83 s on a
+      // quiet box; heap/status-store accumulation). The knob stays for
+      // manual experiments.
       val passes = if (args.length == 4) args(3).toInt else 1
       val s = session(cores)
       try {
         // warm-up covers JIT/codegen/session init; nDocs/15 (~10k docs at
         // the default) is enough to compile the whole DAG's hot paths —
-        // round-3 used nDocs/10, trimmed to cut per-pair cost (VERDICT #2).
-        // The measured pass still recompiles plans whose codegen embeds
-        // the changed size literal — that is the bulk of the ~7 s serial
-        // component pass 1 pays and the later same-size passes do not,
-        // and why multi-pass mins read lower than single-pass times
+        // and since the corpus size rides in an RDD closure rather than
+        // the generated code (CorpusSynth.docIds), the measured pass
+        // REUSES every class the warm-up compiled; no recompiles remain
         def dropCaches(): Unit = {
           s.sharedState.cacheManager.clearCache()
           s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -289,10 +283,9 @@ object Bench {
     // part selection for iterating: all | queries | scaling
     val part = sys.env.getOrElse("SPARK_GRAFT_BENCH_PART", "all")
     // hard wall-clock budget for this WHOLE main (see the contract above);
-    // 2000 s sits inside the recommended 30-35 min range and fits the
-    // queries part plus a single-pass first pair plus two multi-pass
-    // 150k-doc pairs with gate slack (measured: queries 150-310 s, first
-    // pair ~230 s clean, later pairs ~460 s)
+    // 2000 s sits inside the recommended 30-35 min range and fits four-plus
+    // single-pass 150k-doc pairs (measured clean: lo child ~230 s with
+    // warm-up/JVM, hi child ~80 s) plus the queries reserve with slack
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2000").toDouble
     // N-vs-4N core pair. Default 1 vs 4: this sandbox is a shared box whose
@@ -490,7 +483,8 @@ object Bench {
           else {
             val loBest = pairs.map(_._1).min
             val hiBest = pairs.map(_._2).min
-            2.2 * loBest + 3.3 * hiBest + 60.0
+            // single-pass children: ~1.1x slack per child + warm-up/JVM
+            1.3 * (loBest + hiBest) + 90.0
           }
         if (remaining < needed) {
           System.err.println(f"[bench] budget: $remaining%.0fs left < " +
@@ -499,9 +493,17 @@ object Bench {
           stop = true
         } else {
           try {
-            // first pair: single-pass children, so SOME pair lands inside
-            // the budget under any weather; later pairs: two passes per
-            // child — a cheap second clean-window sample per spawn.
+            // SINGLE measured pass per child (round-5 change): multi-pass
+            // children existed because the measured pass used to pay
+            // whole-stage-codegen recompiles the warm-up's smaller corpus
+            // size couldn't cover (size literals in the generated code) —
+            // pass2+ dodged them and mins read lower. The RDD-closure
+            // corpus generator removed that (CorpusSynth.docIds): measured
+            // per-pass today, pass 1 is now always the fastest and later
+            // same-JVM passes only degrade (lo 206→284, hi 50→57→83 —
+            // heap/status-store accumulation), so extra passes pure-burn
+            // budget. Cheaper pairs → more pairs → better min sampling,
+            // which is the statistic that matters on this noisy box.
             // Until a pair has landed, the lo child may use at most 40% of
             // the remaining budget: if weather inflates it past that, it is
             // killed EARLY — while there is still budget to degrade the
@@ -509,16 +511,10 @@ object Bench {
             // burned 930 s and the run recorded ZERO pairs). After the
             // first pair the entry check already guarantees worst-pair
             // headroom, so the cap only needs to stop a pathological hang
-            // (lo wall share of a clean pair is ~60-65% — 70% is headroom).
-            // hi gets a third pass from the second pair on: a hi pass costs
-            // ~30-45 s against the lo child's ~110-150 s per pass, and the
-            // hi level is the noisy one (4 free cores are rarer than 1 on
-            // this box — r4 run i: hi mins 42.2/33.4/41.6 across three
-            // equal-load children while lo moved monotonically 128→115→105),
-            // so the efficiency min() is usually waiting on a clean hi
-            // sample, the cheapest sample there is
-            val loPasses = if (pairs.isEmpty) 1 else 2
-            val hiPasses = if (pairs.isEmpty) 1 else 3
+            // (lo wall share of a clean pair is ~70-80% — the cap is
+            // headroom).
+            val loPasses = 1
+            val hiPasses = 1
             val loCap = if (pairs.isEmpty) 0.40 else 0.70
             loadGate(needed, scalingBudget)
             val ldLo = load1
