@@ -368,8 +368,10 @@ object TextAnalysis {
     *      (744261118 = round(ln 2 · 2^30); the product needs 128 bits)
     */
   private[graft] def lnQ30(k: Long): Long = {
-    require(k >= 1 && k <= (1L << 33),
-      s"lnQ30 domain is [1, 2^33], got $k")
+    // upper bound exclusive: k·2^30 must fit a signed 64-bit long, and at
+    // k = 2^33 exactly the shift wraps negative instead of failing loudly
+    require(k >= 1 && k < (1L << 33),
+      s"lnQ30 domain is [1, 2^33), got $k")
     var m = k << 30
     var e = 0L
     while (m >= (1L << 31)) { m >>= 1; e += 1 }
