@@ -125,6 +125,49 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  // random sorted sparse vector: strictly increasing indices + values
+  private val sparseGen: Gen[(Array[Int], Array[Double])] = for {
+    n <- Gen.choose(0, 40)
+    idx <- Gen.containerOfN[Set, Int](n, Gen.choose(0, 200))
+    vals <- Gen.containerOfN[Array, Double](idx.size, Gen.choose(-10.0, 10.0))
+  } yield (idx.toArray.sorted, vals)
+
+  test("sparse_dot kernel: bit-equal to NameFeatures.dot (the serial " +
+      "oracle's kernel) and to a map-based spec, via BOTH eval paths") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    lazy val spark = SparkTestBase.spark
+    check(Prop.forAllNoShrink(sparseGen, sparseGen) { (a, b) =>
+      val viaCompute = graft.functions.SparseDot.compute(
+        ArrayData.toArrayData(a._1), ArrayData.toArrayData(a._2),
+        ArrayData.toArrayData(b._1), ArrayData.toArrayData(b._2))
+      // the linking contract: same adds in the same (ascending-index)
+      // order as the serial kernel, so == not approx
+      val viaSerial = graft.link.NameFeatures.dot(a, b)
+      // algorithm-blind spec: ascending shared indices, map lookups
+      val bMap = b._1.zip(b._2).toMap
+      var spec = 0.0
+      a._1.zip(a._2).foreach { case (i, v) =>
+        bMap.get(i).foreach(w => spec += v * w)
+      }
+      viaCompute == viaSerial && viaCompute == spec
+    })
+    // whole-stage-codegen path through the Column wrapper must agree with
+    // the interpreted compute (one deterministic row is enough: the
+    // generated code calls the same static kernel — this pins the
+    // expression plumbing, types, and null-safety wiring)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (ai, av) = (Array(1, 3, 7), Array(0.5, -2.0, 4.0))
+    val (bi, bv) = (Array(3, 7, 9), Array(1.5, 0.25, 8.0))
+    val got = Seq((ai.toSeq, av.toSeq, bi.toSeq, bv.toSeq))
+      .toDF("i1", "v1", "i2", "v2")
+      .select(graft.functions.SparseDot.sparseDot(
+        col("i1"), col("v1"), col("i2"), col("v2")).as("d"))
+      .collect().head.getDouble(0)
+    assert(got === graft.link.NameFeatures.dot((ai, av), (bi, bv)))
+    assert(got === -2.0 * 1.5 + 4.0 * 0.25)
+  }
+
   test("sign-lsh kernel: positive scaling never moves a vector's bucket") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     check(Prop.forAllNoShrink(vecGen, Gen.choose(0.001, 1000.0),
