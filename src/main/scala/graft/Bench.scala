@@ -583,17 +583,30 @@ object Bench {
       val meBuild = ("media_features_build",
         timeSec(SparkEntry.warmMedia(spark, sfDir)), ldMe)
       queriesDone = queriesDone :+ meBuild
+      var skipped = 0
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val ld = load1
-        val sec = try {
-          timeSec(fn(spark, sfDir).count())
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+        // hard-budget guard (round 5): the whole-main budget is a contract
+        // — under weather bad enough that the queries phase alone would
+        // blow it, skip the tail instead of overrunning into an external
+        // kill that would cost complete:true. Scaling pairs and every
+        // query measured so far stay in the artifact; a skipped query is
+        // simply absent from the map (queries_n says how many ran).
+        if (elapsedSec > budgetSec) skipped += 1
+        else {
+          val ld = load1
+          val sec = try {
+            timeSec(fn(spark, sfDir).count())
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+          queriesDone = queriesDone :+ ((name, sec, ld))
         }
-        queriesDone = queriesDone :+ ((name, sec, ld))
       }
+      if (skipped > 0)
+        System.err.println(f"[bench] budget exhausted at t=$elapsedSec%.0fs " +
+          f"(budget $budgetSec%.0fs): skipped the last $skipped%d queries")
       spark.stop()
     }
     complete = true
