@@ -371,13 +371,25 @@ object Bench {
         f""""pairs_lo_hi_sec":$pairsJson%s,"pairs_load1":$pairsLoad%s}"""
     }
     def queriesTotal: Double = queriesDone.map(_._2).filter(_ >= 0).sum
+    // the two env-supplied paths are the only free-form strings on the
+    // metric lines (query names are code-controlled identifiers) — a
+    // quote/backslash/control char in SPARK_GRAFT_SF_DIR or _BENCH_OUT
+    // must not corrupt the one line the driver parses
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val sfDirJ = jsonEsc(sfDir)
+    val outFileJ = jsonEsc(outFile)
     def snapshotLine(): String = {
       val qs = queriesDone.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val qLoads = queriesDone.map { case (k, _, ld) => "\"" + k + f"\":$ld%.2f" }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$qs%s,""" +
-        f""""queries_load1":$qLoads%s,"sf":"$sfDir%s","scaling":${scalingJson()}%s}"""
+        f""""queries_load1":$qLoads%s,"sf":"$sfDirJ%s","scaling":${scalingJson()}%s}"""
     }
     /** The driver-facing line: same top-level shape minus the per-query
       * maps (they live in the full line and the `queries_file` sidecar),
@@ -385,7 +397,7 @@ object Bench {
       */
     def compactLine(): String =
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec",""" +
-        f""""sf":"$sfDir%s","queries_file":"$outFile%s",""" +
+        f""""sf":"$sfDirJ%s","queries_file":"$outFileJ%s",""" +
         f""""queries_n":${queriesDone.size},"scaling":${scalingJson()}%s}"""
     def tee(): Unit = {
       val line = snapshotLine()
@@ -421,7 +433,13 @@ object Bench {
     // whole allowance
     val queriesReserve =
       if (part == "all")
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_RESERVE_SEC", "450").toDouble
+        // clamped to 35% of the whole budget: a small iteration budget
+        // (e.g. 400 s) must not drive scalingBudget negative and silently
+        // drop the scaling phase — the at-risk metric keeps the larger share
+        math.min(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_RESERVE_SEC", "450")
+            .toDouble,
+          budgetSec * 0.35)
       else 0.0
     val scalingBudget = budgetSec - queriesReserve
 
@@ -569,40 +587,39 @@ object Bench {
     // start is load-gated (reserve = a clean queries run, so the gate
     // never spends time the phase itself needs).
     if (part != "scaling") {
-      loadGate(250.0, budgetSec)
+      // the gate reserve tracks the configured queries reserve (clean run
+      // ≈ reserve − slack), so raising SPARK_GRAFT_BENCH_QUERIES_RESERVE_SEC
+      // for a slower SF also stops the gate from sleeping into time the
+      // phase demonstrably needs; default 450 → the measured-clean 250
+      loadGate(math.max(250.0, queriesReserve - 200.0), budgetSec)
       val spark = session(cpus)
-      val ld0 = load1
-      val build = ("kg_pipeline_build",
-        timeSec(SparkEntry.warmKg(spark, sfDir)), ld0)
-      queriesDone = Seq(build)
-      val ldSh = load1
-      val shBuild = ("dedup_shingle_build",
-        timeSec(SparkEntry.warmShingles(spark, sfDir)), ldSh)
-      queriesDone = queriesDone :+ shBuild
-      val ldMe = load1
-      val meBuild = ("media_features_build",
-        timeSec(SparkEntry.warmMedia(spark, sfDir)), ldMe)
-      queriesDone = queriesDone :+ meBuild
       var skipped = 0
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        // hard-budget guard (round 5): the whole-main budget is a contract
-        // — under weather bad enough that the queries phase alone would
-        // blow it, skip the tail instead of overrunning into an external
-        // kill that would cost complete:true. Scaling pairs and every
-        // query measured so far stay in the artifact; a skipped query is
-        // simply absent from the map (queries_n says how many ran).
+      // hard-budget guard (round 5): the whole-main budget is a contract
+      // — under weather bad enough that the queries phase alone would
+      // blow it, skip the tail (warm builds included: under r4-grade load
+      // the three builds alone ran 3-7x over their clean ~35 s) instead
+      // of overrunning into an external kill that would cost
+      // complete:true. Scaling pairs and every query measured so far stay
+      // in the artifact; a skipped query is simply absent from the map
+      // (queries_n says how many ran).
+      def runEntry(name: String)(work: => Unit): Unit =
         if (elapsedSec > budgetSec) skipped += 1
         else {
           val ld = load1
-          val sec = try {
-            timeSec(fn(spark, sfDir).count())
-          } catch {
+          val sec = try timeSec(work) catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               -1.0
           }
           queriesDone = queriesDone :+ ((name, sec, ld))
         }
+      // the memoized builds are timed as their own entries so the
+      // alphabetically-first consumer query doesn't absorb the build cost
+      runEntry("kg_pipeline_build")(SparkEntry.warmKg(spark, sfDir))
+      runEntry("dedup_shingle_build")(SparkEntry.warmShingles(spark, sfDir))
+      runEntry("media_features_build")(SparkEntry.warmMedia(spark, sfDir))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        runEntry(name)(fn(spark, sfDir).count())
       }
       if (skipped > 0)
         System.err.println(f"[bench] budget exhausted at t=$elapsedSec%.0fs " +

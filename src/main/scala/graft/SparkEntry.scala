@@ -84,6 +84,14 @@ object SparkEntry {
   private val chunkTokPat =
     """[A-Za-z0-9]+(?:''[A-Za-z0-9]+)*|[^\sA-Za-z0-9]"""
 
+  /** DuckDB expression for the Java String.trim character set (every char
+    * <= U+0020 except NUL, which a DuckDB varchar cannot hold) — one-arg
+    * trim() strips ' ' only and would diverge from Tok.sentenceSplit on
+    * sentence-edge \n/\t.
+    */
+  private val javaTrimSet =
+    (1 to 32).map(c => s"chr($c)").mkString(" || ")
+
   private val fixedChunkCte = {
     val tokPat = chunkTokPat
     s"""p AS (
@@ -335,13 +343,18 @@ object SparkEntry {
       // the kg_chunks row, checked against a SELF-CONTAINED DuckDB replay
       // (recursive-CTE packer), not a serial-oracle dump (VERDICT r4 #6).
       // Every 7th doc gets a deterministic 152-token sentence appended on
-      // BOTH engines so the oversized flush+window path is exercised too.
+      // BOTH engines so the oversized flush+window path is exercised too;
+      // every 5th doc gets edge \n/\t whitespace wrapped around its text
+      // on BOTH engines so the gate PROVES Java-trim <-> DuckDB
+      // trim-charset parity at sentence edges (a one-arg DuckDB trim()
+      // strips spaces only and would silently diverge here).
       import s.implicits._
       val cfg = SpanChunker.Config(60, 12)
       val longSent = " " + ("zz " * 150) + "end."
       s.read.parquet(docsPath(dir)).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .flatMap { case (id, text0) =>
+        .flatMap { case (id, text1) =>
+          val text0 = if (id % 5 == 0) "\n\t " + text1 + " \n" else text1
           val text = if (id % 7 == 0) text0 + longSent else text0
           val doc = graft.core.Schema.DocRow(s"d$id",
             Vector(graft.core.Schema.Span("text", text, "", 0)))
@@ -1132,20 +1145,35 @@ object SparkEntry {
       //           sentences / token windows) + exact token counts.
       // The doc_id % 7 augmentation appends a deterministic 152-token
       // sentence on both engines so flush+window paths are exercised.
+      // Trim parity: the engine's Tok.sentenceSplit strips Java-trim
+      // whitespace (every char <= U+0020) from sentence edges, while
+      // DuckDB's one-arg trim() strips ' ' only — so the CTE trims with
+      // an explicit chr(1)..chr(32) set (chr(1) doubles as the split
+      // marker, already consumed). Residual documented divergences no
+      // realistic corpus hits: a NUL (U+0000) at a sentence edge (DuckDB
+      // varchars cannot hold one), and an INTERIOR U+000B — Java \\s
+      // includes \\v, RE2's does not, so a mid-sentence \\v tokenizes as
+      // punctuation only on the oracle side.
       s"""WITH RECURSIVE
+         |docsw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN chr(10) || chr(9) || ' ' || text || ' ' || chr(10)
+         |      ELSE text END AS text
+         |  FROM documents),
          |docs0 AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0
          |      THEN text || ' ' || repeat('zz ', 150) || 'end.'
          |      ELSE text END AS text
-         |  FROM documents),
+         |  FROM docsw),
          |raw AS (
          |  SELECT doc_id,
          |    string_split(regexp_replace(text, '([.!?])\\s+',
          |      '\\1' || chr(1), 'g'), chr(1)) AS ps
          |  FROM docs0),
          |sraw AS (
-         |  SELECT doc_id, trim(unnest(ps)) AS s0,
+         |  SELECT doc_id, trim(unnest(ps), $javaTrimSet) AS s0,
          |    unnest(range(1, len(ps) + 1)) AS pi
          |  FROM raw),
          |sent AS (

@@ -62,18 +62,38 @@ object SparseDot {
 
   /** Plain two-pointer merge over unsafe array data — no boxing,
     * codegen-callable, add-order identical to NameFeatures.dot.
+    *
+    * Input guards (sparse_dot is a PUBLIC SQL function, not just the
+    * Linker's internal kernel): mismatched index/value lengths and null
+    * array elements fail loudly — the UDF this replaced threw on both,
+    * where raw ArrayData reads would return garbage (out-of-bounds) or
+    * silently treat a null as index 0 / value 0.0. The checks are a
+    * branch-predictable bit-test per read on the hot path (never taken
+    * in linking: NameFeatures emits dense non-null pairs).
     */
   def compute(ai: ArrayData, av: ArrayData,
       bi: ArrayData, bv: ArrayData): Double = {
     val an = ai.numElements()
     val bn = bi.numElements()
+    if (av.numElements() != an || bv.numElements() != bn)
+      throw new IllegalArgumentException(
+        s"sparse_dot: index/value arrays differ in length " +
+          s"($an vs ${av.numElements()}, $bn vs ${bv.numElements()})")
     var i = 0
     var j = 0
     var s = 0.0
     while (i < an && j < bn) {
+      if (ai.isNullAt(i) || bi.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sparse_dot: null element in an index array")
       val x = ai.getInt(i)
       val y = bi.getInt(j)
-      if (x == y) { s += av.getDouble(i) * bv.getDouble(j); i += 1; j += 1 }
+      if (x == y) {
+        if (av.isNullAt(i) || bv.isNullAt(j))
+          throw new IllegalArgumentException(
+            "sparse_dot: null element in a value array")
+        s += av.getDouble(i) * bv.getDouble(j); i += 1; j += 1
+      }
       else if (x < y) i += 1
       else j += 1
     }

@@ -113,7 +113,12 @@ object DocLoader {
       "sim 8764 cong 8773 asymp 8776 ne 8800 equiv 8801 le 8804 ge 8805 " +
       "sub 8834 sup 8835 nsub 8836 sube 8838 supe 8839 oplus 8853 " +
       "otimes 8855 perp 8869 sdot 8901 lceil 8968 rceil 8969 lfloor 8970 " +
-      "rfloor 8971 lang 9001 rang 9002 loz 9674 spades 9824 clubs 9827 " +
+      // lang/rang use the HTML5 code points (U+27E8/U+27E9 mathematical
+      // angle brackets) rather than HTML 4.01's U+2329/U+232A: the
+      // reference decodes through BeautifulSoup/html.parser, whose entity
+      // table is HTML5's, and HTML5 remapped exactly these two names —
+      // every other name below has the same code point in both specs
+      "rfloor 8971 lang 10216 rang 10217 loz 9674 spades 9824 clubs 9827 " +
       "hearts 9829 diams 9830").split(' ').grouped(2)
       .map(a => a(0) -> a(1).toInt).toVector
     (latin1 ++ rest)

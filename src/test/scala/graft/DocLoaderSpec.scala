@@ -64,6 +64,10 @@ class DocLoaderSpec extends AnyFunSuite {
     // the table is the complete HTML 4.01 set: 96 latin-1 + markup/symbol
     assert(DocLoader.NamedEntities.size === 253) // 252 HTML4 + apos
     assert(DocLoader.NamedEntities("thetasym") === "ϑ")
+    // lang/rang pin the HTML5 code points (U+27E8/U+27E9) — what the
+    // reference's BeautifulSoup decodes — not HTML4's U+2329/U+232A
+    assert(DocLoader.NamedEntities("lang") === "⟨")
+    assert(DocLoader.NamedEntities("rang") === "⟩")
     // unknown names (HTML5-only) pass through untouched — documented gap
     assert(DocLoader.htmlToText("<p>a&langle;b</p>") === "a&langle;b")
   }
