@@ -27,11 +27,18 @@ import graft.link.Linker
   *   - merge lineage: merged_entity_ids accumulates across runs
   *     (consolidation.py:296-304 merged_entity_ids +=).
   *
-  * Usage: ConsolidateJob --work DIR [--threshold N]
+  * Usage: ConsolidateJob --work DIR [--threshold N] [--buckets N]
+  *
+  * `--buckets` must match the value the graph was INGESTED with
+  * (IngestJob --buckets, default 32): the consolidated mentions_final is
+  * re-bucketed on write, and a different modulus would silently change
+  * the partition layout bucket-pruned readers and co-partitioned joins
+  * key on.
   */
 object ConsolidateJob {
 
-  final case class Args(work: String = "", threshold: Long = 100L)
+  final case class Args(work: String = "", threshold: Long = 100L,
+      buckets: Int = 32)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -40,6 +47,7 @@ object ConsolidateJob {
       argv(i) match {
         case "--work" => a = a.copy(work = argv(i + 1)); i += 2
         case "--threshold" => a = a.copy(threshold = argv(i + 1).toLong); i += 2
+        case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -101,7 +109,8 @@ object ConsolidateJob {
     io.commit("nodes", finalNodes, Seq("entity_type"), stage = "consolidate")
     io.commit("edges", edges, Seq("pred"), stage = "consolidate")
     io.commit("mentions_final",
-      mentions.withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(32))),
+      mentions.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(a.buckets))),
       Seq("bucket"), stage = "consolidate")
     dupPairs.unpersist()
     System.err.println(s"[consolidate] committed snapshots: nodes=" +

@@ -261,14 +261,18 @@ object CurateJob {
       val kept = Dedup.keepBestPerCluster(clusters,
         exactKept.select(col("doc_id"),
           length(col("text")).cast("bigint").as("score")))
-      // cluster members that are NOT the kept representative drop out;
-      // the loser table is cluster-sized (small), so the anti-join
-      // broadcasts
+      // cluster members that are NOT the kept representative drop out.
+      // NO forced broadcast hint: the loser table scales with corpus
+      // DUPLICATION, not a constant — on a boilerplate-heavy crawl at the
+      // 100 TB posture it can be a large fraction of the corpus, and a
+      // broadcast() hint would bypass AQE's size check and OOM the driver.
+      // AQE broadcasts it when it is actually small (the sf0.01 case) and
+      // falls back to a shuffle join when it is not — the same posture as
+      // the funnel/retention stages after the round-4 ADVICE fix.
       val losers = clusters.join(
         kept.select(col("kept_doc_id").as("doc_id")), Seq("doc_id"),
         "left_anti").select(col("doc_id"))
-      val survivors = exactKept.join(broadcast(losers), Seq("doc_id"),
-        "left_anti")
+      val survivors = exactKept.join(losers, Seq("doc_id"), "left_anti")
       // optional source-mix resampling toward the target domain weights —
       // AFTER dedup retention (mix ratios should describe unique content),
       // BEFORE the fold split

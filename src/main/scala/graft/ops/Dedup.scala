@@ -29,17 +29,6 @@ object Dedup {
   private def wsTokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles of the lowercased text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
-    array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i + lit(n) <= size(toks),
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        s => s.isNotNull))
-  }
-
   /** Per-pair probability that (bands × rows) MinHash banding MISSES a
     * pair with true Jaccard j: (1 − j^rows)^bands, rows = numHashes/bands.
     * The LSH-then-verify entry points promise their output EQUALS the
@@ -139,18 +128,14 @@ object Dedup {
       .select("id1", "id2", "inter", "jaccard")
   }
 
-  /** MinHash signature: numHashes permutation-approximations, the i-th
-    * permutation realized as the seeded combined hash xxhash64(shingle, i)
-    * (hash composition instead of an affine transform — identical
-    * independence properties, and no long-multiply overflow under ANSI
-    * mode). Pure column space: transform/array_min, no UDF, one narrow
-    * projection per doc.
-    */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh, s => xxhash64(s, i))))
-  }
+  // (A column-HOF shingling + nested-transform MinHash signature pair used
+  // to live here as the rejected first formulation; deleted as dead code —
+  // the measured 30x/50x interpreted-vs-codegen numbers that killed it are
+  // recorded at shingleArr and minhashLshSh below, which are the one
+  // maintained path. The i-th "permutation" is the seeded combined hash
+  // xxhash64(shingle, i): hash composition instead of an affine transform —
+  // identical independence properties, and no long-multiply overflow under
+  // ANSI mode.)
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; estimated Jaccard = fraction of equal signature positions;
@@ -187,6 +172,12 @@ object Dedup {
     val sig = inv.groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
+      // persisted WITHOUT a matching unpersist: the returned pair frame is
+      // lazy, so the cache must outlive this function (unpersisting here
+      // would drop it before the caller's action). The blocks live until
+      // the session ends or the caller clears them — (doc_id + numHashes
+      // longs)/doc, ~0.5 KB/doc; long-lived multi-job sessions that care
+      // should clearCache() between jobs (Bench's children do)
       .persist()
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -364,11 +355,28 @@ object Dedup {
     val hubs = allBB.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("hub_id"))
+    // star edges: every NEW member pairs with the hub (new-touching by
+    // construction)...
     val starPairs = hotNew.join(broadcast(hubs), Seq("band", "bucket"))
       .where(col("doc_id") =!= col("hub_id"))
       .select(least(col("doc_id"), col("hub_id")).as("id1"),
         greatest(col("doc_id"), col("hub_id")).as("id2"))
-    val cands = cliquePairs.union(starPairs).dropDuplicates("id1", "id2")
+    // ...and when the hub is itself a NEW doc, hub×old edges are
+    // new-touching too and must be emitted — without this, a hot bucket
+    // whose min doc_id lands in the new batch produced ZERO pairs for its
+    // old members and a new duplicate entered the corpus undetected
+    // (still O(k) per bucket, the star contract)
+    val newHubs = hubs.join(
+      newBB.select(col("band"), col("bucket"), col("doc_id").as("hub_id")),
+      Seq("band", "bucket", "hub_id"), "left_semi")
+    val hotOld = oldBB.join(broadcast(hot), Seq("band", "bucket"),
+      "left_semi")
+    val starOldPairs = hotOld.join(broadcast(newHubs), Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("hub_id"))
+      .select(least(col("doc_id"), col("hub_id")).as("id1"),
+        greatest(col("doc_id"), col("hub_id")).as("id2"))
+    val cands = cliquePairs.union(starPairs).union(starOldPairs)
+      .dropDuplicates("id1", "id2")
     verifyJaccardSh(oldSh.unionByName(newSh), cands, threshold)
   }
 
@@ -428,6 +436,9 @@ object Dedup {
     val mask = (1L << width) - 1
     val withSim = docs.select(col("doc_id"),
       graft.functions.SimHash64.simhash64(col("text")).as("sim"))
+      // session-lifetime persist, same rationale as minhashLshSh's sig:
+      // the returned frame is lazy, so no in-function unpersist is possible;
+      // 16 bytes/doc
       .persist()
     val banded = withSim.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map { b =>
@@ -605,8 +616,12 @@ object Dedup {
 
   /** The scrub itself: documents with every shared line removed —
     * (doc_id, text) with text rebuilt from the surviving lines. Same plan
-    * as lineDedupStats; docs whose lines were all shared come back with
-    * empty text (the downstream min-length screen drops them).
+    * as lineDedupStats. A doc whose lines were ALL shared has no surviving
+    * row at all — it is absent from the output (CurateJob's line_scrubbed
+    * stage documents exactly this: such docs drop out at the inner
+    * join-back), unlike lineDedupStats, which still emits its stats row
+    * with kept_md5 = md5(""). Callers that need one row per input doc
+    * should left-join the input against this output.
     */
   def removeSharedLines(docs: DataFrame, minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")

@@ -191,7 +191,10 @@ object Multimodal {
       s"PPM: bad header ${w}x$h maxval=$maxval")
     pos += 1 // exactly one whitespace byte separates maxval from pixels
     val bytesPerSample = if (maxval < 256) 1 else 2
-    val expected = w * h * 3 * bytesPerSample
+    // Long product: a huge header dim (e.g. 65536x65536) overflows the Int
+    // product to a small value that can collide with the remaining byte
+    // count and wrongly accept the file
+    val expected = w.toLong * h * 3 * bytesPerSample
     require(payload.length - pos == expected,
       s"PPM: pixel array ${payload.length - pos} bytes, expected $expected")
     val feat = binnedMeans(8) { emit =>
@@ -222,9 +225,14 @@ object Multimodal {
     var dataLen = -1
     while (pos + 8 <= payload.length) {
       val id = tag(pos)
-      val size = rdU32le(payload, pos + 4).toInt
-      require(pos + 8 + size <= payload.length,
+      // keep the unsigned 32-bit size in a Long for the bound check: a
+      // corrupt size >= 2^31 truncated with .toInt goes negative, slips
+      // past the overrun require, and `pos += 8 + size + (size & 1)` then
+      // stops advancing — an executor-task hang instead of an error row
+      val sizeL = rdU32le(payload, pos + 4)
+      require(pos + 8L + sizeL <= payload.length,
         s"WAV: chunk '$id' overruns the file")
+      val size = sizeL.toInt
       id match {
         case "fmt " =>
           require(size >= 16, "WAV: fmt chunk too small")
@@ -284,6 +292,13 @@ object Multimodal {
     require(w > 0 && h > 0, s"Y4M: missing W/H in header '$header'")
     require(chroma.startsWith("420"), s"Y4M: unsupported chroma C$chroma")
     require(w % 2 == 0 && h % 2 == 0, s"Y4M: 4:2:0 needs even dims, got ${w}x$h")
+    // dims a real frame must satisfy anyway (a frame cannot exceed the
+    // payload), checked in Long arithmetic BEFORE the Int products below:
+    // a header like W1073741824 H2 overflows w*h to a negative Int, making
+    // frameBytes negative — pos then walks BACKWARD and the frame loop
+    // never terminates while buffering luma offsets (hang, then OOM)
+    require(w.toLong * h * 3 / 2 <= payload.length,
+      s"Y4M: ${w}x$h frame larger than the whole payload")
     val lumaBytes = w * h
     val frameBytes = lumaBytes * 3 / 2
     var pos = nl + 1

@@ -44,10 +44,20 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y", "una"),
     "zh" -> Seq("de", "shi", "le", "wo", "ni"))
 
-  /** Language ID: score = count of marker-word hits per language over the
-    * whitespace tokens; predicted language = argmax, ties broken by
-    * language code ascending (deterministic). Pure column algebra —
+  /** Language ID: score = non-overlapping count of marker-word hits per
+    * language over the whitespace tokens; predicted language = argmax,
+    * ties broken by language code DESCENDING (deterministic — a zero-hit
+    * doc therefore predicts "zh", the last code). Pure column algebra —
     * one pass, no shuffle, no UDF.
+    *
+    * Two documented approximations, both mirrored EXACTLY by the DuckDB
+    * oracle (SparkEntry.langPredSqlExprs), so the cross-engine gate pins
+    * them: (a) the replace-based count is non-overlapping — in
+    * "the the the" the middle occurrence's surrounding spaces are consumed
+    * by its neighbors' matches, so marker_hits = 2, not 3; (b) the
+    * tie-break is the ASCIIbetically LARGEST code (greatest() on the
+    * (score, lang) struct). Changing either side alone breaks the gate's
+    * hash equality; change both together or neither.
     */
   def langId(docs: DataFrame): DataFrame = {
     val toks = lower(concat(lit(" "),
@@ -60,10 +70,9 @@ object TextAnalysis {
       }.reduce(_ + _)
       struct(s.as("score"), lit(lang).as("lang"))
     }
-    // argmax with tie-break: max on (score, reversed-lang) then unwrap
+    // argmax: max on the (score, lang) struct — lang breaks ties DESCENDING
     val best = greatest(scores.map(s =>
       struct(s.getField("score").as("score"),
-        // invert lang bytes so that ties pick the ASCIIbetically smallest
         s.getField("lang").as("lang"))): _*)
     docs.select(col("doc_id"), col("lang").as("lang_meta"),
       scores.map(s => s.getField("score")).reduce(_ + _).as("marker_hits"),

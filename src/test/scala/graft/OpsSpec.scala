@@ -633,6 +633,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((0L, 10L), (1L, 10L)), got.toString) // no (0,1)
   }
 
+  test("incremental hot-bucket star keeps new x old pairs when the hub " +
+      "is a NEW doc") {
+    // identical texts -> every band bucket holds all four docs; with
+    // maxBucketSize = 2 each bucket is hot and collapses to a star around
+    // its min doc_id — which here is the NEW doc 1. Before the round-5
+    // fix, star edges were drawn only FROM new members, so a new-doc hub
+    // produced zero pairs and the duplicate entered the corpus undetected.
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val old = Seq((10L, t), (11L, t), (12L, t)).toDF("doc_id", "text")
+    val fresh = Seq((1L, t)).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(old, fresh, n = 3, threshold = 0.7,
+      maxBucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hub(1, new) x each old member; old x old stays excluded
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L)), got.toString)
+  }
+
   test("lengthStats computes exact interpolated percentiles per stratum") {
     val d = Seq(
       (0L, "a", "en"), (1L, "a b", "en"), (2L, "a b c", "en"),
