@@ -340,6 +340,20 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.parseWav("JUNK".getBytes ++ payload.drop(4)))
     val badSize = payload.clone(); badSize(4) = (badSize(4) ^ 1).toByte
     assertThrows[IllegalArgumentException](Multimodal.parseWav(badSize))
+    // adversarial chunk size >= 2^31: before the round-5 fix the size
+    // truncated to a NEGATIVE Int, slipped past the overrun check, and
+    // `pos += 8 + size` stopped advancing — this call HUNG the executor
+    // task instead of throwing. (Keep the RIFF size field consistent so
+    // the walk actually reaches the bogus chunk.)
+    val evil = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](36, 0, 0, 0) ++ // RIFF size = total(44) - 8
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
+      Array[Byte](1, 0, 1, 0, 0x40, 0x1f, 0, 0, -128, 0x3e, 0, 0, 2, 0, 16, 0) ++
+      "junk".getBytes("US-ASCII") ++
+      Array[Byte](-8, -1, -1, -1) // size 0xFFFFFFF8 = 4294967288
+    assert(evil.length === 44)
+    assertThrows[IllegalArgumentException](Multimodal.parseWav(evil))
   }
 
   test("Y4M decoder: stream header, FRAME walk, 4:2:0 size validation") {
@@ -368,6 +382,17 @@ class OpsSpec extends AnyFunSuite {
       "YUV4MPEG2 W3 H2 C420\n".getBytes("US-ASCII")))
     assertThrows[IllegalArgumentException](Multimodal.parseY4m(
       "YUV4MPEG2 W2 H2 C444\n".getBytes("US-ASCII")))
+    // adversarial header whose w*h overflows Int (1073741824*2 = 2^31):
+    // before the round-5 fix frameBytes went NEGATIVE, pos walked BACKWARD
+    // and the frame loop buffered luma offsets forever — this call HUNG
+    // then OOMed instead of throwing
+    assertThrows[IllegalArgumentException](Multimodal.parseY4m(
+      ("YUV4MPEG2 W1073741824 H2 C420\n" + "FRAME\nxxxx")
+        .getBytes("US-ASCII")))
+    // and the PPM analog: 65536x65536 overflows the Int pixel product to
+    // a small value that could collide with the remaining byte count
+    assertThrows[IllegalArgumentException](Multimodal.parsePpm(
+      "P6\n65536 65536\n255\n".getBytes("US-ASCII")))
   }
 
   test("CSV table decoder: rectangularity + numeric validation") {
