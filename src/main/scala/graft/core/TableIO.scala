@@ -99,9 +99,14 @@ final class TableIO(val root: String) {
     writer.mode("overwrite").parquet(dataPath)
 
     // per-partition lineage/metrics rows (computed from the committed data
-    // so the manifest describes exactly what landed)
+    // so the manifest describes exactly what landed). The explicit schema
+    // matters for the EMPTY-table case: a partitionBy write of zero rows
+    // emits only _SUCCESS, and a schemaless read-back then fails inference
+    // ("Unable to infer schema for Parquet") — killing the stage and, on
+    // --resume, killing it again, for a legitimately empty table (e.g. a
+    // corpus whose patterns extract zero triples)
     val spark = df.sparkSession
-    val written = spark.read.parquet(dataPath)
+    val written = spark.read.schema(df.schema).parquet(dataPath)
     val (partMetrics, totalRows) =
       if (partitionBy.nonEmpty) {
         val counts = written.groupBy(partitionBy.map(col): _*).count()
@@ -122,6 +127,11 @@ final class TableIO(val root: String) {
       System.currentTimeMillis(), partMetrics)
     Files.write(dir.resolve("_snapshots").resolve(s"$snapId.json"),
       snapshotJson(snap).getBytes(StandardCharsets.UTF_8))
+    // schema sidecar (the Iceberg manifests carry schemas for the same
+    // reason): read() needs it to open a snapshot whose data dir has no
+    // part files — a legitimately EMPTY partitioned commit
+    Files.write(dir.resolve("_snapshots").resolve(s"$snapId.schema.json"),
+      df.schema.json.getBytes(StandardCharsets.UTF_8))
     val tmp = dir.resolve("_current.tmp")
     Files.write(tmp, snapId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
@@ -132,7 +142,21 @@ final class TableIO(val root: String) {
   def read(spark: SparkSession, table: String): DataFrame = {
     val id = currentSnapshotId(table).getOrElse(
       sys.error(s"table $table has no committed snapshot under $root"))
-    spark.read.parquet(tableDir(table).resolve(s"data-$id").toString)
+    val path = tableDir(table).resolve(s"data-$id").toString
+    try spark.read.parquet(path)
+    catch {
+      // an EMPTY partitioned snapshot has only _SUCCESS — no files to
+      // infer from; fall back to the schema sidecar the commit wrote
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        val sf = tableDir(table).resolve("_snapshots")
+          .resolve(s"$id.schema.json")
+        if (!Files.exists(sf)) throw e
+        val st = org.apache.spark.sql.types.DataType.fromJson(
+          new String(Files.readAllBytes(sf), StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(st).parquet(path)
+    }
   }
 
   def snapshots(table: String): Seq[Long] = {

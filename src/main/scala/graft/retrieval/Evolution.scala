@@ -55,8 +55,11 @@ object Evolution {
   def searchDocuments(documents: DataFrame, query: String,
       topK: Int = 10): DataFrame = {
     val toks = query.toLowerCase.split("\\W+").filter(_.length > 2).distinct.toSeq
+    // same (doc_id, title, score) schema as the scored path — an empty
+    // query must not produce a frame a union/title-reader breaks on
     if (toks.isEmpty)
-      return documents.select(col("doc_id")).limit(0).withColumn("score", lit(0))
+      return documents.select(col("doc_id"), col("title"),
+        lit(0).as("score")).limit(0)
     val score = toks.map(t =>
       when(lower(col("title")).contains(t), 1).otherwise(0)).reduce(_ + _)
     documents.select(col("doc_id"), col("title"), score.as("score"))

@@ -87,7 +87,14 @@ object GraphSearch {
         .join(reached.select(col("entity").as("seen")),
           lower(col("entity")) === lower(col("seen")), "left_anti")
         .withColumn("dist", lit(d))
-      reached = reached.unionByName(frontier).persist()
+      // eager localCheckpoint per hop (the CC-loop pattern): materializes
+      // NOW — so the und persist is actually reused across hops and can be
+      // released below — truncates the lineage (reached appears twice per
+      // hop; un-truncated, the final plan duplicated it 2^depth times),
+      // and its blocks are GC-cleaned, unlike the per-hop .persist() this
+      // replaces, which marked frames no action ever cached and leaked the
+      // marks for the session
+      reached = reached.unionByName(frontier).localCheckpoint()
     }
     und.unpersist()
     reached.where(col("dist") > 0)

@@ -25,13 +25,21 @@ object HybridSearch {
     df.withColumn("rank", row_number().over(
       Window.orderBy(col("score").desc, col("chunk_id").asc)))
 
-  /** RRF-fuse two ranked lists on chunk_id. Inputs need (chunk_id, score). */
+  /** RRF-fuse two ranked lists on chunk_id. Inputs need (chunk_id, score).
+    * Output schema is (chunk_id, rrf_score) on EVERY path — the alpha
+    * extremes used to return the input frame with its original `score`
+    * column, so a caller selecting `rrf_score` broke only when alpha hit
+    * 0/1 (on the short-circuits rrf_score carries the single leg's own
+    * score, matching the reference's vector-/graph-only passthrough).
+    */
   def rrf(vector: DataFrame, graph: DataFrame, topK: Int = 10,
       alpha: Double = DefaultAlpha, k: Int = RrfK): DataFrame = {
     if (alpha >= 1.0)
       return vector.orderBy(col("score").desc, col("chunk_id").asc).limit(topK)
+        .select(col("chunk_id"), col("score").cast("double").as("rrf_score"))
     if (alpha <= 0.0)
       return graph.orderBy(col("score").desc, col("chunk_id").asc).limit(topK)
+        .select(col("chunk_id"), col("score").cast("double").as("rrf_score"))
     val v = withRank(vector).select(col("chunk_id"),
       (lit(alpha) / (lit(k) + col("rank"))).as("contrib"))
     val g = withRank(graph).select(col("chunk_id"),
@@ -43,8 +51,12 @@ object HybridSearch {
       .limit(topK)
   }
 
-  /** Over-fetch then rerank (hybrid_search.py:165-204): retrieve
-    * `fetchK` = 50 and keep topK by the fused score.
+  /** Rerank-to-topK over wider inputs (hybrid_search.py:165-204). The
+    * reference's OVER-FETCH — each leg retrieving `fetchK` = 50 before the
+    * fusion — happens at the CALLER, which passes legs already limited to
+    * fetchK (TemporalRetrieval does); this function only fuses the legs it
+    * is given at depth fetchK and keeps topK by the fused score. Passing
+    * un-widened top-topK legs makes fetchK a no-op by construction.
     */
   def searchWithReranking(vector: DataFrame, graph: DataFrame,
       topK: Int = 10, fetchK: Int = 50,

@@ -41,11 +41,15 @@ object VectorSearch {
 
   /** Attach per-result entity lists and document ids
     * (vector_search.py:78-95: join Document + collect(DISTINCT entity)).
+    * The chunk→doc map is restricted to current versions: chunk_id is
+    * stable across versions, so an unfiltered join would emit one result
+    * row per VERSION of each hit.
     */
   def withEntities(results: DataFrame, chunks: DataFrame,
       mentions: DataFrame): DataFrame =
     results
-      .join(chunks.select(col("chunk_id"), col("doc_id")), Seq("chunk_id"))
+      .join(chunks.where(col("is_current") === true)
+        .select(col("chunk_id"), col("doc_id")), Seq("chunk_id"))
       .join(mentions.groupBy(col("chunk_id"))
           .agg(sort_array(collect_set(col("entity_name"))).as("entities")),
         Seq("chunk_id"), "left")
@@ -53,14 +57,18 @@ object VectorSearch {
 
   /** Neighbor context (vector_search.py:128-181): for each hit, the chunks
     * of the same document with |chunk_index − i| <= window, excluding the
-    * hit itself. One self-join on doc_id with a bounded index range.
+    * hit itself. One self-join on doc_id with a bounded index range. Both
+    * sides filter to current versions (the reference's context query has
+    * `WHERE c.is_current = true`, `:160`) — without it a versioned chunk
+    * joined once per version.
     */
   def searchWithContext(results: DataFrame, chunks: DataFrame,
       window: Int = 1): DataFrame = {
+    val cur = chunks.where(col("is_current") === true)
     val hits = results
-      .join(chunks.select(col("chunk_id"), col("doc_id"),
+      .join(cur.select(col("chunk_id"), col("doc_id"),
         col("chunk_index")), Seq("chunk_id"))
-    val neighbors = chunks.select(col("doc_id").as("n_doc"),
+    val neighbors = cur.select(col("doc_id").as("n_doc"),
       col("chunk_id").as("neighbor_id"), col("chunk_index").as("n_idx"))
     hits.join(neighbors,
         col("n_doc") === col("doc_id") &&
@@ -72,13 +80,21 @@ object VectorSearch {
 
   /** Chunks most similar to a given chunk, excluding itself and optionally
     * its document (vector_search.py:183-255 — the reference over-fetches
-    * k+1 then drops self; here the self filter is in the plan).
+    * k+1 then drops self; here the self filter is in the plan). Candidates
+    * are restricted to CURRENT versions (`WHERE node.is_current = true`,
+    * `:222`) while the target chunk is looked up by id alone, exactly the
+    * reference's shape; the default excludeSameDocument = true also
+    * matches the reference signature (`:187`). Before round 5 neither
+    * held: superseded versions competed in the top-k (once per version)
+    * and same-doc chunks were kept by default.
     */
   def findSimilarChunks(chunks: DataFrame, chunkId: String, topK: Int = 10,
-      excludeSameDocument: Boolean = false): DataFrame = {
+      excludeSameDocument: Boolean = true): DataFrame = {
     val target = chunks.where(col("chunk_id") === chunkId)
       .select(col("embedding").as("q_emb"), col("doc_id").as("q_doc"))
-    val base = chunks.where(col("chunk_id") =!= chunkId)
+      .limit(1)
+    val base = chunks.where(col("is_current") === true)
+      .where(col("chunk_id") =!= chunkId)
       .crossJoin(broadcast(target))
     val filtered = if (excludeSameDocument)
       base.where(col("doc_id") =!= col("q_doc")) else base

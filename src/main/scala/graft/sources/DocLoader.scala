@@ -388,7 +388,12 @@ object DocLoader {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     require(s.startsWith("%PDF-"), "not a PDF (missing %PDF- header)")
     val pages = Vector.newBuilder[String]
-    val LengthRe = "/Length\\s+(\\d+)".r
+    // possessive (\d++) + negative lookahead: an INDIRECT length
+    // ("/Length 5 0 R", ubiquitous in real PDFs) must NOT match — with a
+    // backtracking (\d+) the engine would shrink "5" out of "50 0 R" until
+    // the lookahead passed and return a garbage literal length; indirect
+    // lengths fall through to the endstream scan instead
+    val LengthRe = "/Length\\s+(\\d++)(?!\\s+\\d+\\s+R)".r
     var pos = 0
     while ({ pos = s.indexOf("stream", pos); pos >= 0 }) {
       // the keyword, not the tail of "endstream": must not be preceded by
@@ -400,7 +405,26 @@ object DocLoader {
         }
       if (!isKeyword) pos += "stream".length
       else try {
-        val dictStart = s.lastIndexOf("<<", pos)
+        // OUTERMOST dict start: balance << / >> backwards from the dict's
+        // closing >> — a bare lastIndexOf("<<") lands on the innermost
+        // NESTED dict (e.g. /DecodeParms << /Predictor 12 >>) and loses
+        // /Length and /FlateDecode, feeding compressed bytes to the text
+        // scanner as if they were plain content
+        val dictStart = {
+          var i = s.lastIndexOf(">>", pos)
+          var depth = if (i >= 0) 1 else 0
+          var start = -1
+          i -= 1
+          while (i >= 1 && start < 0) {
+            if (s.charAt(i) == '>' && s.charAt(i - 1) == '>') {
+              depth += 1; i -= 2
+            } else if (s.charAt(i) == '<' && s.charAt(i - 1) == '<') {
+              depth -= 1
+              if (depth == 0) start = i - 1 else i -= 2
+            } else i -= 1
+          }
+          start
+        }
         val dict = if (dictStart >= 0) s.substring(dictStart, pos) else ""
         var dataStart = pos + "stream".length
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1

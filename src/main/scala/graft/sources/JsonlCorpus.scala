@@ -49,7 +49,12 @@ object JsonlCorpus {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // one pass feeds both the good and the corrupt split
+      // one pass feeds both the good and the corrupt split. The cache is
+      // session-lifetime (both returned frames are lazy, so no in-function
+      // unpersist is possible) — callers doing repeated loads in one
+      // long-lived session should unpersist via the returned frames or
+      // clearCache() between loads
+      .cache()
     val corrupt = raw.where(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record"))
     var good = raw.where(col("_corrupt_record").isNull).drop("_corrupt_record")
@@ -57,7 +62,17 @@ object JsonlCorpus {
     filters.year.foreach(y => good = good.where(col("year") === y))
     filters.quarter.foreach(q => good = good.where(col("quarter") === q))
     filters.stockCode.foreach(c => good = good.where(col("stock_code") === c))
-    filters.limit.foreach(n => good = good.limit(n))
+    // the reference's limit is "first N records in FILE order"
+    // (ectqa_loader's sequential per-line loop); a bare DataFrame.limit on
+    // a multi-split read keeps whichever N rows arrive first and varies
+    // with parallelism. monotonically_increasing_id is ordered by
+    // (partition index, in-partition position) and the JSON reader's
+    // partitions follow file-split order, so sorting on it realizes the
+    // reference's deterministic prefix
+    filters.limit.foreach { n =>
+      good = good.withColumn("_ord", monotonically_increasing_id())
+        .orderBy(col("_ord")).limit(n).drop("_ord")
+    }
     val derived = good
       .withColumn("title", concat(col("company_name"), lit(" ("),
         col("stock_code"), lit(") - "), col("quarter"), lit(" "),

@@ -70,4 +70,24 @@ class ResumeSpec extends AnyFunSuite {
     assert(counts.tail.sum === rows)
     deleteRec(java.nio.file.Paths.get(base))
   }
+
+  test("commit of a legitimately EMPTY partitioned table succeeds") {
+    // a partitionBy write of zero rows emits only _SUCCESS; the manifest
+    // read-back must supply the schema or inference fails and the stage —
+    // and every --resume of it — dies (round-5 review finding)
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-empty").toString
+    val io = new graft.core.TableIO(base)
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("src", "pred", "weight")
+    val snap = io.commit("edges", empty, Seq("pred"), stage = "test")
+    assert(snap.rows === 0L)
+    assert(io.read(spark, "edges").count() === 0L)
+    assert(io.read(spark, "edges").columns.toSet === Set("src", "pred", "weight"))
+    // a later non-empty commit on the same table still works
+    val snap2 = io.commit("edges",
+      Seq(("a", "p", 1L)).toDF("src", "pred", "weight"), Seq("pred"), "test")
+    assert(snap2.rows === 1L && io.read(spark, "edges").count() === 1L)
+    deleteRec(java.nio.file.Paths.get(base))
+  }
 }

@@ -176,9 +176,15 @@ class RetrievalSpec extends AnyFunSuite {
       temporal = Some(TemporalFilter(PointInTime, fiscalYear = Some(2024),
         fiscalQuarter = Some("Q1")))).collect().map(_.getString(0))
     assert(q1Only.toSeq === Seq("c1"))
+    // reference parity (vector_search.py:183-255): candidates filter
+    // is_current = true — c4 (superseded, despite the best cosine) must
+    // NOT appear — and exclude_same_document defaults TRUE, dropping c2
     val sim = VectorSearch.findSimilarChunks(chunks, "c1", topK = 2)
       .collect().map(_.getString(0))
-    assert(sim.toSeq === Seq("c4", "c2"))
+    assert(sim.toSeq === Seq("c3"))
+    val simSameDoc = VectorSearch.findSimilarChunks(chunks, "c1", topK = 2,
+      excludeSameDocument = false).collect().map(_.getString(0))
+    assert(simSameDoc.toSeq === Seq("c2", "c3")) // still no superseded c4
     val ctx = VectorSearch.searchWithContext(
       VectorSearch.search(chunks, Seq(1.0, 0.0), topK = 1), chunks)
       .collect().map(r => (r.getAs[String]("chunk_id"), r.getAs[String]("neighbor_id")))
