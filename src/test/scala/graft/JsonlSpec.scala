@@ -42,8 +42,13 @@ class JsonlSpec extends AnyFunSuite {
       JsonlCorpus.Filters(year = Some(2024)))._1.count() === 1)
     assert(JsonlCorpus.load(spark, path,
       JsonlCorpus.Filters(stockCode = Some("ZETA"), quarter = Some("Q1")))._1.count() === 1)
-    assert(JsonlCorpus.load(spark, path,
-      JsonlCorpus.Filters(limit = Some(2)))._1.count() === 2)
+    // limit is the DETERMINISTIC first-N in file order (round-5 review
+    // finding: it used to keep an arbitrary-arrival subset), so at N=2 it
+    // must be exactly the first two good records, u1 and u2
+    val limited = JsonlCorpus.load(spark, path,
+      JsonlCorpus.Filters(limit = Some(2)))._1
+    assert(limited.select("url").collect().map(_.getString(0)).toSet ===
+      Set("u1", "u2"))
   }
 
   test("stats aggregates counts, companies and token sums per group") {

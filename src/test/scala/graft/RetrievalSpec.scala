@@ -202,9 +202,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(fused("c2") - rrfScore(Some(2), Some(1))) < 1e-12)
     assert(math.abs(fused("c1") - rrfScore(Some(1), None)) < 1e-12)
     assert(fused("c2") > fused("c1")) // in both lists beats top-of-one
+    // the alpha 0/1 short-circuits must emit the SAME (chunk_id, rrf_score)
+    // schema as the fused path (round-5 review finding: they used to return
+    // the input frame with its original `score` column)
     val vOnly = HybridSearch.rrf(vector, graph, topK = 2, alpha = 1.0)
-      .collect().map(_.getString(0))
-    assert(vOnly.toSeq === Seq("c1", "c2"))
+    assert(vOnly.columns.toSeq === Seq("chunk_id", "rrf_score"))
+    assert(vOnly.collect().map(_.getString(0)).toSeq === Seq("c1", "c2"))
+    val gOnly = HybridSearch.rrf(vector, graph, topK = 2, alpha = 0.0)
+    assert(gOnly.columns.toSeq === Seq("chunk_id", "rrf_score"))
+    assert(gOnly.collect().map(_.getString(0)).toSeq === Seq("c2", "c4"))
     val ex = HybridSearch.explainResults(vector, graph).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ex === Map("both" -> 1L, "vector_only" -> 2L, "graph_only" -> 1L))
@@ -318,6 +324,12 @@ class RetrievalSpec extends AnyFunSuite {
     val found = Evolution.searchDocuments(docs, "acme earnings").collect()
     assert(found.length === 1 && found.head.getLong(0) === 1L &&
       found.head.getInt(2) === 2)
+    // an all-stopword query returns ZERO rows with the SAME (doc_id, title,
+    // score) schema as the scored path (round-5 review finding: the empty
+    // branch used to emit (doc_id, score) and broke a union/title-reader)
+    val none = Evolution.searchDocuments(docs, "a an of")
+    assert(none.columns.toSeq === Seq("doc_id", "title", "score"))
+    assert(none.count() === 0L)
     val stats = Evolution.databaseStats(docs, docs, docs, edges, mentions).head()
     assert(stats.getLong(0) === 2L && stats.getLong(3) === 3L &&
       stats.getLong(4) === 7L)
