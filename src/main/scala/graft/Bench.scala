@@ -13,6 +13,12 @@ import graft.ingest.SpanChunker
   *             "queries_load1":{...},"sf":...,"scaling":{...}}
   *   compact: {"metric":"total","value":N,"unit":"sec","sf":...,
   *             "queries_file":"...","scaling":{...}}
+  * The scaling block carries, besides the raw min-min efficiency, a
+  * per-child clock calibration (calib_spin_*_sec / clock_ratio /
+  * efficiency_clock_norm — see calibSpin) so host per-core-speed
+  * asymmetries between the 1-core and 4-core levels are measured in the
+  * artifact instead of inferred; per-pair calibs (pairs_calib_sec) ride
+  * in the full line only, keeping the compact line small.
   *
   * WHY two lines (round-5 rework): the driver's bench artifact keeps only
   * the last 2,000 characters of stdout. BENCH_r04 was rc=0/complete yet
@@ -88,6 +94,50 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Defeats dead-code elimination of the calibration spin below. */
+  @volatile private var calibSink = 0L
+
+  /** Fixed CPU-bound calibration workload: `threads` concurrent xorshift64
+    * spin loops (cache-resident, allocation-free, dependency-chained so
+    * IPC is constant), returning the SLOWEST thread's wall seconds. Run
+    * inside each scaling child with threads = that child's core count, it
+    * measures the effective per-core compute rate under the child's own
+    * occupancy. Motivation: across one morning of identical-code runs the
+    * 1-core pipeline floor fell 149 → 134.8 s while the 4-core floor held
+    * 42.8–44.9 s — per-core speed on this virtualized host is visibly NOT
+    * level-independent (single-core turbo, SMT-sibling contention, and
+    * host-level vCPU placement all move it, none visible in guest
+    * loadavg). Whatever the mechanism, a per-child spin time captures it:
+    * the ratio of the two children's calibration times converts the raw
+    * wall-clock reading to a cycles-basis one (`efficiency_clock_norm`),
+    * and per-pair calibs in the artifact let a reader attribute any
+    * lo-vs-hi asymmetry to clock rather than engine. The RAW wall-clock
+    * `efficiency` stays the headline number.
+    */
+  private def calibSpin(threads: Int): Double = {
+    def spin(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      x
+    }
+    val iters = 1200000000L // ~1.5 s/thread at nominal clock
+    calibSink ^= spin(iters / 20) // JIT warm-up
+    val times = new Array[Double](threads)
+    val ts = (0 until threads).map { k =>
+      new Thread(() => {
+        val t0 = System.nanoTime()
+        calibSink ^= spin(iters)
+        times(k) = (System.nanoTime() - t0) / 1e9
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    times.max
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -129,7 +179,7 @@ object Bench {
     * above decides whether to retry or finalize).
     */
   private def pipelineInChildJvm(cores: Int, nDocs: Long,
-      deadlineSec: Double, passes: Int): Double = {
+      deadlineSec: Double, passes: Int): (Double, Double) = {
     val cp = System.getProperty("java.class.path")
     require(cp != null && cp.contains("classes"),
       s"bench needs a materialized classpath (run via scripts/run_main.sh " +
@@ -179,10 +229,16 @@ object Bench {
       val out = java.nio.file.Files.readString(outF.toPath)
       currentChild = null
       val rc = proc.exitValue()
-      out.linesIterator.collectFirst {
+      val t = out.linesIterator.collectFirst {
         case l if l.startsWith("PIPELINE_SEC ") => l.stripPrefix("PIPELINE_SEC ").toDouble
       }.getOrElse(sys.error(
         s"child bench JVM (cores=$cores) exited rc=$rc without a timing line"))
+      // calibration line is auxiliary: its absence must never fail a pair
+      val calib = out.linesIterator.collectFirst {
+        case l if l.startsWith("CALIB_SPIN_SEC ") =>
+          l.stripPrefix("CALIB_SPIN_SEC ").toDouble
+      }.getOrElse(-1.0)
+      (t, calib)
     } finally outF.delete()
   }
 
@@ -207,7 +263,7 @@ object Bench {
     * partner (1.0 = use all that remains).
     */
   private def childWithRetry(cores: Int, nDocs: Long,
-      budgetSec: Double, passes: Int, capFrac: Double = 1.0): Double = {
+      budgetSec: Double, passes: Int, capFrac: Double = 1.0): (Double, Double) = {
     def deadline = (budgetSec - elapsedSec) * capFrac
     try pipelineInChildJvm(cores, nDocs, deadline, passes)
     catch {
@@ -253,6 +309,11 @@ object Bench {
         }
         pipelineRun(s, cores, math.max(nDocs / 15, 500L))
         dropCaches()
+        // clock calibration immediately before the measured pass (see
+        // calibSpin): same core occupancy as the measurement, temporally
+        // adjacent, so its time reflects the clock the pass will run at
+        val calib = calibSpin(cores)
+        System.err.println(f"[bench-child cores=$cores] calib: $calib%.4f s")
         val best = (1 to math.max(passes, 1)).map { i =>
           if (i > 1) dropCaches()
           val t = pipelineRun(s, cores, nDocs)
@@ -262,6 +323,7 @@ object Bench {
           t
         }.min
         println(f"PIPELINE_SEC $best%.3f")
+        println(f"CALIB_SPIN_SEC $calib%.4f")
       } finally s.stop()
       return
     }
@@ -335,11 +397,14 @@ object Bench {
     // kg_nodes_dist read 37.6 s INSIDE a burst vs ~5 s clean — without the
     // load column that is indistinguishable from a regression)
     @volatile var queriesDone = Seq.empty[(String, Double, Double)]
-    // (lo_sec, hi_sec, load1-at-lo-start, load1-at-hi-start): per-CHILD
-    // loads (post-load-gate) — r4 run h showed a per-pair load reading
-    // cannot attribute a burst to the child it actually hit
+    // (lo_sec, hi_sec, load1-at-lo-start, load1-at-hi-start, calib_lo,
+    // calib_hi): per-CHILD loads (post-load-gate) — r4 run h showed a
+    // per-pair load reading cannot attribute a burst to the child it
+    // actually hit — plus each child's clock-calibration spin time (see
+    // calibSpin; -1.0 when a child did not report one)
     val pairs =
-      scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Double, Double, Double, Double)]
     @volatile var complete = false
     val printed = new AtomicBoolean(false)
 
@@ -347,27 +412,49 @@ object Bench {
       * Bounded: even at the 8-pair max it stays ~500 chars (pairs are the
       * only growing part, ~35 chars each).
       */
-    def scalingJson(): String = {
+    def scalingJson(full: Boolean): String = {
       val ps = pairs.synchronized(pairs.toVector)
       val (tLo, tHi) =
         if (part == "queries") (1.0, 1.0)
         else if (ps.isEmpty) (-1.0, -1.0)
         else (ps.map(_._1).min, ps.map(_._2).min)
       val efficiency = if (tHi > 0) (tLo / tHi) / factor else -1.0
+      // clock normalization (see calibSpin): take the calibration of the
+      // exact children that supplied the min-min numerator/denominator.
+      // clock_ratio = f_lo/f_hi = calib_hi/calib_lo (shorter spin = faster
+      // clock); efficiency_clock_norm = efficiency x clock_ratio is the
+      // cycles-basis reading. Both are -1.0 when a calib is missing.
+      val (calLo, calHi) =
+        if (ps.isEmpty || part == "queries") (-1.0, -1.0)
+        else (ps(ps.indexWhere(_._1 == tLo))._5,
+          ps(ps.indexWhere(_._2 == tHi))._6)
+      val clockRatio = if (calLo > 0 && calHi > 0) calHi / calLo else -1.0
+      val effNorm =
+        if (efficiency > 0 && clockRatio > 0) efficiency * clockRatio else -1.0
       val pairsJson = ps
-        .map { case (l, h, _, _) => f"[$l%.3f,$h%.3f]" }.mkString("[", ",", "]")
-      val pairsLoad = ps
-        .map { case (_, _, ll, lh) => f"[$ll%.2f,$lh%.2f]" }
+        .map { case (l, h, _, _, _, _) => f"[$l%.3f,$h%.3f]" }
         .mkString("[", ",", "]")
+      val pairsLoad = ps
+        .map { case (_, _, ll, lh, _, _) => f"[$ll%.2f,$lh%.2f]" }
+        .mkString("[", ",", "]")
+      // per-pair calibs ride only in the FULL line: the compact line must
+      // stay far below the driver's 2,000-char stdout tail at 8 pairs
+      val pairsCalib =
+        if (!full) ""
+        else ps.map { case (_, _, _, _, cl, ch) => f"[$cl%.3f,$ch%.3f]" }
+          .mkString(""""pairs_calib_sec":[""", ",", "],")
       f"""{"pipeline_docs":$docsUsed,"cores_lo":$coresLo,"cores_hi":$coresHi,""" +
         f""""t_lo_sec":$tLo%.3f,"t_hi_sec":$tHi%.3f,""" +
         f""""docs_per_sec_lo":${if (tLo > 0) docsUsed / tLo else -1.0}%.1f,""" +
         f""""docs_per_sec_hi":${if (tHi > 0) docsUsed / tHi else -1.0}%.1f,""" +
         f""""speedup":${if (tHi > 0) tLo / tHi else -1.0}%.3f,""" +
         f""""core_factor":$factor%.1f,""" +
-        f""""efficiency":$efficiency%.3f,"reps":${ps.size},""" +
+        f""""efficiency":$efficiency%.3f,""" +
+        f""""calib_spin_lo_sec":$calLo%.4f,"calib_spin_hi_sec":$calHi%.4f,""" +
+        f""""clock_ratio":$clockRatio%.4f,""" +
+        f""""efficiency_clock_norm":$effNorm%.3f,"reps":${ps.size},""" +
         f""""budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
-        f""""complete":$complete,""" +
+        f""""complete":$complete,$pairsCalib%s""" +
         f""""pairs_lo_hi_sec":$pairsJson%s,"pairs_load1":$pairsLoad%s}"""
     }
     def queriesTotal: Double = queriesDone.map(_._2).filter(_ >= 0).sum
@@ -389,7 +476,7 @@ object Bench {
       val qLoads = queriesDone.map { case (k, _, ld) => "\"" + k + f"\":$ld%.2f" }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$qs%s,""" +
-        f""""queries_load1":$qLoads%s,"sf":"$sfDirJ%s","scaling":${scalingJson()}%s}"""
+        f""""queries_load1":$qLoads%s,"sf":"$sfDirJ%s","scaling":${scalingJson(full = true)}%s}"""
     }
     /** The driver-facing line: same top-level shape minus the per-query
       * maps (they live in the full line and the `queries_file` sidecar),
@@ -398,7 +485,7 @@ object Bench {
     def compactLine(): String =
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec",""" +
         f""""sf":"$sfDirJ%s","queries_file":"$outFileJ%s",""" +
-        f""""queries_n":${queriesDone.size},"scaling":${scalingJson()}%s}"""
+        f""""queries_n":${queriesDone.size},"scaling":${scalingJson(full = false)}%s}"""
     def tee(): Unit = {
       val line = snapshotLine()
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
@@ -536,11 +623,13 @@ object Bench {
             val loCap = if (pairs.isEmpty) 0.40 else 0.70
             loadGate(needed, scalingBudget)
             val ldLo = load1
-            val lo = childWithRetry(coresLo, docsUsed, scalingBudget, loPasses, loCap)
+            val (lo, calLo) =
+              childWithRetry(coresLo, docsUsed, scalingBudget, loPasses, loCap)
             loadGate(needed * 0.4, scalingBudget)
             val ldHi = load1
-            val hi = childWithRetry(coresHi, docsUsed, scalingBudget, hiPasses)
-            pairs.synchronized { pairs += ((lo, hi, ldLo, ldHi)) }
+            val (hi, calHi) =
+              childWithRetry(coresHi, docsUsed, scalingBudget, hiPasses)
+            pairs.synchronized { pairs += ((lo, hi, ldLo, ldHi, calLo, calHi)) }
             tee()
             val eff = (pairs.map(_._1).min / pairs.map(_._2).min) / factor
             val losSorted = pairs.map(_._1).sorted
@@ -548,7 +637,8 @@ object Bench {
               losSorted(1) / losSorted(0) <= 1.07
             System.err.println(f"[bench] rep ${pairs.size}: lo=$lo%.1fs " +
               f"hi=$hi%.1fs eff-so-far=$eff%.3f loStable=$loStable " +
-              f"load1=[$ldLo%.1f,$ldHi%.1f] t=$elapsedSec%.0fs")
+              f"load1=[$ldLo%.1f,$ldHi%.1f] calib=[$calLo%.3f,$calHi%.3f] " +
+              f"t=$elapsedSec%.0fs")
             stop = pairs.size >= repsFloor && eff >= effTarget && loStable
           } catch {
             case e: Throwable =>
