@@ -502,13 +502,18 @@ object SparkEntry {
       // cross-document boilerplate-line scrub over the same derived
       // 8-token-per-line view as q_repetition (the synth corpus is
       // single-line); the corpus vocabulary is small, so lines genuinely
-      // repeat across docs and both branches (shared / kept) are exercised
-      val toks = TextAnalysis.wsTokens(col("text"))
-      val nl = s.read.parquet(docsPath(dir)).select(col("doc_id"),
-        concat_ws("\n", transform(
-          sequence(lit(0),
-            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
-          k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
+      // repeat across docs and both branches (shared / kept) are exercised.
+      // tokens materialized before the lambda: slice(toks, ...) inside the
+      // transform would re-tokenize the text per 8-token window
+      val toks = col("toks")
+      val nl = s.read.parquet(docsPath(dir))
+        .select(col("doc_id"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0),
+              greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
+            k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
       Dedup.lineDedupStats(nl, minDf = 2)
     }),
     "q_kmeans" -> ((s, dir) =>
@@ -708,13 +713,18 @@ object SparkEntry {
       // corpus is single-line, so the query derives a deterministic
       // 8-token-per-line view with the IDENTICAL expression in the oracle
       // SQL — the repetition stats then have real duplicate lines to find
-      // (the corpus vocabulary is small, so 8-token lines genuinely repeat)
-      val toks = TextAnalysis.wsTokens(col("text"))
-      val nl = s.read.parquet(docsPath(dir)).select(col("doc_id"),
-        concat_ws("\n", transform(
-          sequence(lit(0),
-            greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
-          k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
+      // (the corpus vocabulary is small, so 8-token lines genuinely repeat).
+      // tokens materialized before the lambda: slice(toks, ...) inside the
+      // transform would re-tokenize the text per 8-token window
+      val toks = col("toks")
+      val nl = s.read.parquet(docsPath(dir))
+        .select(col("doc_id"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0),
+              greatest(ceil(size(toks) / lit(8.0)).cast("int") - 1, lit(0))),
+            k => concat_ws(" ", slice(toks, k * 8 + 1, lit(8))))).as("text"))
       TextAnalysis.repetitionStats(nl)
     }),
     "q_pii_scrub" -> ((s, dir) => {

@@ -44,14 +44,19 @@ object Dsir {
   def bigramFeatures(docs: DataFrame, dim: Int,
       salt: String = ""): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    // tokens materialized as a column BEFORE the lambda — element_at
+    // inside the transform would otherwise re-tokenize the text per
+    // bigram position, O(tokens²) per doc (same fix as bigramPerplexity)
+    val toks = col("toks")
     // same 0/1-token guard as bigramPerplexity: sequence(1, 0) DESCENDS
     // and element_at(toks, 0) throws under ANSI
     val grams = when(size(toks) >= 2, transform(
       sequence(lit(1), size(toks) - 1),
       k => concat(element_at(toks, k), lit(" "), element_at(toks, k + 1))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(grams).as("bg"))
+    docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(grams).as("bg"))
       .groupBy(col("doc_id"),
         TextClassifier.bucket(col("bg"), dim, salt).as("b"))
       .agg(count(lit(1)).as("cnt"))

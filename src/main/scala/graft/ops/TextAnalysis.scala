@@ -28,10 +28,13 @@ object TextAnalysis {
     * subword count.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      size(wsTokens(col("text"))).as("n_tokens"),
-      size(array_distinct(wsTokens(col("text")))).as("n_distinct_tokens"),
+    // tokenize once into a column; the two size() uses then share it
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"),
       bpeishCount(col("text")).as("n_subwords"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        col("n_subwords"))
 
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deterministic, tiny, inline (a gazetteer of function
@@ -60,8 +63,10 @@ object TextAnalysis {
     * hash equality; change both together or neither.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = lower(concat(lit(" "),
-      concat_ws(" ", wsTokens(lower(col("text")))), lit(" ")))
+    // the padded token string is materialized once: every marker word's
+    // length/replace pair references the attribute instead of re-running
+    // the tokenize+concat chain (25 marker words -> 50 references)
+    val toks = col("padded_toks")
     val scores = langMarkers.map { case (lang, words) =>
       val s = words.map { w =>
         // occurrence count of " w " in the padded token string
@@ -74,9 +79,13 @@ object TextAnalysis {
     val best = greatest(scores.map(s =>
       struct(s.getField("score").as("score"),
         s.getField("lang").as("lang"))): _*)
-    docs.select(col("doc_id"), col("lang").as("lang_meta"),
-      scores.map(s => s.getField("score")).reduce(_ + _).as("marker_hits"),
-      best.getField("lang").as("lang_pred"))
+    docs.select(col("doc_id"), col("lang"),
+      lower(concat(lit(" "),
+        concat_ws(" ", wsTokens(lower(col("text")))), lit(" ")))
+        .as("padded_toks"))
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        scores.map(s => s.getField("score")).reduce(_ + _).as("marker_hits"),
+        best.getField("lang").as("lang_pred"))
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio,
@@ -85,7 +94,13 @@ object TextAnalysis {
     * so results are engine-portable (oracle-comparable).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
+    // tokenize ONCE into a projected column: the stopword filters and the
+    // distinct/size uses below each reference the attribute instead of
+    // re-running split+filter per use (HOF expressions sit outside
+    // whole-stage codegen, so common-subexpression elimination never
+    // collapses repeated wsTokens chains — measured as ~10 tokenize
+    // passes per row in the one-select formulation)
+    val toks = col("toks")
     val nTok = size(toks)
     val nChar = length(col("text"))
     val punct = (length(col("text")) -
@@ -93,7 +108,8 @@ object TextAnalysis {
     val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
     val stopHits = stopwords.map(w =>
       size(filter(toks, t => lower(t) === lit(w)))).reduce(_ + _)
-    docs.select(
+    docs.select(col("doc_id"), col("text"),
+      wsTokens(col("text")).as("toks")).select(
       col("doc_id"),
       nChar.as("n_chars"),
       nTok.as("n_tokens"),
@@ -112,13 +128,22 @@ object TextAnalysis {
     * this one exists so the windowing logic has a driver-checkable oracle.
     */
   def windowFingerprint(docs: DataFrame, w: Int = 8): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
-    val nw = ceil(size(toks).cast("double") / w).cast("int")
-    val hashes = transform(sequence(lit(0), nw - 1), k =>
-      md5(concat_ws(" ", slice(toks, k * w + 1, lit(w))).cast("binary")))
-    docs.select(col("doc_id"), nw.as("n_windows"),
-      when(nw > 0, array_min(hashes)).as("win_md5_min"),
-      when(nw > 0, array_max(hashes)).as("win_md5_max"))
+    // tokens and the per-window hash array are each materialized as a
+    // projected column before reuse: `slice(toks, ...)` inside the
+    // transform lambda would otherwise re-tokenize the text per window
+    // (lambda bodies see the raw expression, not a shared value), and
+    // array_min/array_max would each recompute the whole hash array
+    val nw = ceil(size(col("toks")).cast("double") / w).cast("int")
+    val hashes = transform(sequence(lit(0), col("n_windows") - 1), k =>
+      md5(concat_ws(" ", slice(col("toks"), k * w + 1, lit(w)))
+        .cast("binary")))
+    docs.select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"), nw.as("n_windows"))
+      .select(col("doc_id"), col("n_windows"),
+        when(col("n_windows") > 0, hashes).as("hashes"))
+      .select(col("doc_id"), col("n_windows"),
+        array_min(col("hashes")).as("win_md5_min"),
+        array_max(col("hashes")).as("win_md5_max"))
   }
 
   /** Document fingerprints: md5 content hash (exact-dedup key) and a
@@ -171,7 +196,11 @@ object TextAnalysis {
           .cast("double") /
           greatest(sum(col("cnt") * length(col("line"))), lit(1)),
         lit(0.0)), 6).as("dup_line_char_frac"))
-    val toks = wsTokens(lower(col("text")))
+    // tokens materialized as a column BEFORE the lambda: element_at inside
+    // the transform would otherwise re-tokenize the full text per bigram
+    // position — O(tokens²) work per doc (lambda bodies inline the raw
+    // expression; no CSE applies across HOF boundaries)
+    val toks = col("toks")
     // guard: sequence(1, 0) DESCENDS in Spark and element_at(toks, 0)
     // throws under ANSI, so 0/1-token docs must short-circuit to no bigrams
     val bigrams = when(size(toks) >= 2, transform(
@@ -179,6 +208,7 @@ object TextAnalysis {
       k => concat_ws(" ", element_at(toks, k), element_at(toks, k + 1))))
       .otherwise(array().cast("array<string>"))
     val bigramCounts = docs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
@@ -258,12 +288,17 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val toks = wsTokens(lower(col("text")))
-    val withTf = docs.select(
-      col("doc_id") +: size(toks).cast("bigint").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("bigint").as(s"tf_$i")
-        }: _*)
+    // tokenize once into a column; each per-term filter references the
+    // attribute instead of re-running the split (1 + |terms| tokenizations
+    // per row in the one-select formulation)
+    val toks = col("toks")
+    val withTf = docs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .select(
+        col("doc_id") +: size(toks).cast("bigint").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === lit(t))).cast("bigint").as(s"tf_$i")
+          }: _*)
     val statAggs =
       avg(col("dl")).as("avgdl") +:
         terms.indices.map(i =>
@@ -307,7 +342,14 @@ object TextAnalysis {
     * map-side partial-combined.
     */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
+    // tokens materialized as a column BEFORE the bigram lambda: the
+    // element_at calls inside the transform would otherwise re-run the
+    // whole split+filter tokenization per bigram position — O(tokens²)
+    // per doc (no CSE across HOF lambda boundaries; measured 12.4 s →
+    // ~1 s on the sf0.1 gate query)
+    val toks = col("toks")
+    val tokd = docs.select(col("doc_id"),
+      wsTokens(lower(col("text"))).as("toks"))
     // guard: sequence(1, 0) DESCENDS in Spark and element_at(toks, 0)
     // throws under ANSI — 0/1-token docs must short-circuit to no bigrams
     val pairs = when(size(toks) >= 2, transform(
@@ -315,7 +357,7 @@ object TextAnalysis {
       k => struct(element_at(toks, k).as("w1"),
         element_at(toks, k + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bg = docs.select(col("doc_id"), explode(pairs).as("p"))
+    val bg = tokd.select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     // NOTE: pre-aggregating per-doc (doc_id,w1,w2) counts before the join
     // was measured SLOWER (65 s vs 20 s cold at sf0.1): bigrams seldom
@@ -325,7 +367,7 @@ object TextAnalysis {
     // join.
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
     val cw = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
-    val vocab = docs.select(explode(toks).as("w"))
+    val vocab = tokd.select(explode(toks).as("w"))
       .agg(countDistinct(col("w")).as("vocab"))
     bg.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
       .crossJoin(broadcast(vocab))
