@@ -68,12 +68,21 @@ object Dsir {
     */
   private def lambdaTable(rawFeats: DataFrame, tgtFeats: DataFrame,
       dim: Int): DataFrame = {
+    // nq (the raw-corpus bigram total) is a WINDOW sum over the ≤dim-row
+    // bucket marginal, not a separate rb.agg subtree: the latter embedded
+    // a second full tokenize+hash pass over the raw corpus in the lazy
+    // plan (the window costs one single-partition exchange of ≤dim rows).
+    // nt keeps the separate-agg shape — the target corpus is small by
+    // definition, and a target bucket absent from the raw marginal must
+    // still contribute to nt (a window over the left join would lose it).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val rb = rawFeats.groupBy(col("b")).agg(sum(col("cnt")).as("cq"))
+      .withColumn("nq", sum(col("cq")).over(wAll))
     val tb = tgtFeats.groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
-    val nq = rb.agg(sum(col("cq")).as("nq"))
     val nt = tb.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     rb.join(tb, Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nq))
+      .crossJoin(broadcast(nt))
       .select(col("b"),
         round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
             (col("nt") + lit(dim.toDouble))) -
@@ -86,10 +95,11 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, dim: Int = 256,
       salt: String = ""): DataFrame = {
-    // the raw feature table feeds three subtrees under different
-    // partitionings; a localCheckpoint to force single materialization
-    // was measured a wash at sf0.1 (8 s vs 7 s warm — the duplicated
-    // subtrees are not the cost), so the plan stays pure-lazy
+    // the plan stays PURE-LAZY (no persist/collect at construction): the
+    // weights-only consumers keep their optimizer-pruned fast path, and
+    // with nq folded into the λ subtree as a window (see lambdaTable) a
+    // full evaluation runs the raw tokenize+hash pass twice (λ build +
+    // scoring probe), down from three
     val rawF = bigramFeatures(raw, dim, salt)
     val lam = lambdaTable(rawF, bigramFeatures(target, dim, salt), dim)
     val scored = rawF.join(broadcast(lam), Seq("b"))
