@@ -59,13 +59,19 @@ object GazetteerNer {
       var n = root
       var j = i
       var best: Option[Match] = None
-      while (j < text.length &&
-          n.next.contains(Character.toLowerCase(text.charAt(j)))) {
-        n = n.next(Character.toLowerCase(text.charAt(j)))
-        j += 1
-        n.hit.foreach { case (surface, tpe) =>
-          val endOk = j >= text.length || !Character.isLetterOrDigit(text.charAt(j))
-          if (endOk) best = Some(Match(i, j, surface, tpe))
+      var continue = true
+      while (continue && j < text.length) {
+        // single hash lookup per char (contains+apply was two)
+        n.next.getOrElse(Character.toLowerCase(text.charAt(j)), null) match {
+          case null => continue = false
+          case nx =>
+            n = nx
+            j += 1
+            n.hit.foreach { case (surface, tpe) =>
+              val endOk = j >= text.length ||
+                !Character.isLetterOrDigit(text.charAt(j))
+              if (endOk) best = Some(Match(i, j, surface, tpe))
+            }
         }
       }
       best
@@ -122,8 +128,17 @@ object GazetteerNer {
         }
       } else i += 1
     }
-    // regex candidates (boundary-checked; patterns are CASE_INSENSITIVE)
-    regexDetectors.foreach { case (pat, tpe) =>
+    // regex candidates (boundary-checked; patterns are CASE_INSENSITIVE).
+    // every value-typed pattern requires a digit, so a one-pass digit
+    // probe skips all five regex engines on digit-free text
+    var hasDigit = false
+    var d = 0
+    while (!hasDigit && d < text.length) {
+      val c = text.charAt(d)
+      if (c >= '0' && c <= '9') hasDigit = true
+      d += 1
+    }
+    if (hasDigit) regexDetectors.foreach { case (pat, tpe) =>
       val m = pat.matcher(text)
       while (m.find()) {
         val ok = boundaryOk(text, m.start()) &&

@@ -56,8 +56,13 @@ object RelationPatterns {
     Tok.sentenceSplit(chunk.text).foreach { sentence =>
       val ms = GazetteerNer.scan(sentence, automaton)
       if (ms.length >= 2) { // >=2 entities required (relation_extractor.py:84)
-        val tStartOpt = parseTStart(sentence)
-        val tEnd = parseTEnd(sentence)
+        // the four date regexes are parsed LAZILY, on the first emitted
+        // triple: most ≥2-mention sentences match no relation pattern, and
+        // paying four regex scans per sentence for an unused result was a
+        // measurable slice of the relations stage
+        var tParsed = false
+        var tStartOpt: Option[Date] = None
+        var tEnd: Option[Date] = None
         var i = 0
         while (i < ms.length - 1) {
           val a = ms(i)
@@ -68,6 +73,11 @@ object RelationPatterns {
               val subj = Tok.normalizeEntityName(a.name)
               val obj = Tok.normalizeEntityName(b.name)
               if (subj.nonEmpty && obj.nonEmpty && subj != obj) {
+                if (!tParsed) {
+                  tStartOpt = parseTStart(sentence)
+                  tEnd = parseTEnd(sentence)
+                  tParsed = true
+                }
                 out += TripleRow(subj, a.tpe, p.pred, obj, b.tpe,
                   tStartOpt.getOrElse(chunk.fiscal_period_end), tEnd,
                   Const.RelationConfidence, sentence, Seq(chunk.chunk_id))
