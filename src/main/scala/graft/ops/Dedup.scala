@@ -288,21 +288,31 @@ object Dedup {
     * hash-aggregate, fully codegen'd; one shuffle of (doc_id, 64 longs)).
     */
   def bandBuckets(docsSh: DataFrame, numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32): DataFrame =
+    bandBucketsFlagged(docsSh.withColumn("is_new", lit(false)),
+      numHashes, bands).drop("is_new")
+
+  /** [[bandBuckets]] with an `is_new` marker column carried through the
+    * signature aggregation — lets an incremental caller compute ONE
+    * signature pass over old ∪ new and split afterwards.
+    */
+  private def bandBucketsFlagged(docsSh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inv = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    inv.groupBy(col("doc_id"))
+    val inv = docsSh.select(col("doc_id"), col("is_new"),
+      explode(col("sh")).as("s"))
+    inv.groupBy(col("doc_id"), col("is_new"))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("is_new"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(concat_ws(",",
               transform(slice(col("sig"), b * rows + 1, rows),
                 x => x.cast("string")))).as("bucket"))
         }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
+      .select(col("doc_id"), col("is_new"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
   }
 
@@ -332,9 +342,23 @@ object Dedup {
   def incrementalNearDupsSh(oldSh: DataFrame, newSh: DataFrame,
       numHashes: Int = 64, bands: Int = 32, threshold: Double = 0.7,
       maxBucketSize: Long = 5000L): DataFrame = {
-    val oldBB = bandBuckets(oldSh, numHashes, bands) // the stored index
-    val newBB = bandBuckets(newSh, numHashes, bands)
-    val allBB = oldBB.union(newBB)
+    // ONE signature/banding pass over old ∪ new with an is_new flag,
+    // materialized via localCheckpoint (tiny: `bands` rows per doc), then
+    // old/new/all band-bucket views are filters over it. The previous
+    // per-side bandBuckets calls were referenced six times downstream
+    // (cold/hot/hub subtrees), and each reference re-ran the full
+    // explode + N-way-min signature aggregation — the dominant cost of
+    // the gate query (431-node physical plan). At real scale the old
+    // side is the PERSISTED index table, which is exactly what the
+    // checkpointed frame stands in for.
+    val allSh = oldSh.select(col("doc_id"), col("sh"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newSh.select(col("doc_id"), col("sh"))
+        .withColumn("is_new", lit(true)))
+    val bb = bandBucketsFlagged(allSh, numHashes, bands).localCheckpoint(true)
+    val oldBB = bb.where(!col("is_new")).drop("is_new")
+    val newBB = bb.where(col("is_new")).drop("is_new")
+    val allBB = bb.drop("is_new")
     val hot = allBB.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bc"))
       .where(col("bc") > lit(maxBucketSize))
