@@ -143,18 +143,31 @@ object TextClassifier {
           .select(col("id"), col("y"), col("p")).persist()
         // gradient in exact micro²-units: (pu−yu)·xu ≤ 10¹² per feature
         // row as a long, summed as decimal(38,0) so the Σ is exact at any
-        // row count (DuckDB mirrors with its exact HUGEINT bigint-sum)
+        // row count (DuckDB mirrors with its exact HUGEINT bigint-sum).
+        // The bias gradient rides in the SAME aggregation as a sentinel
+        // bucket b = −1 with xu = 10⁶ (so its micro²-sum is exactly
+        // gbu·10⁶, divided back out in exact decimal arithmetic) — one
+        // driver action per epoch instead of two (the scored frame stays
+        // persisted for the epoch: the union references it twice).
         val pu = round(col("p") * lit(1e6), 0).cast("long")
         val yu = (col("y") * lit(1e6)).cast("long")
-        val grads = scored.join(f, "id")
+        val diffs = scored.select(col("id"), (pu - yu).as("d"))
+        val rows = diffs.join(f, "id")
+          .select(col("b"), (col("d") * col("xu")).as("v"))
+          .unionByName(diffs.select(lit(-1L).as("b"),
+            (col("d") * lit(1000000L)).as("v")))
           .groupBy(col("b"))
-          .agg(sum(((pu - yu) * col("xu")).cast("decimal(38,0)")).as("gsu"))
+          .agg(sum(col("v").cast("decimal(38,0)")).as("gsu"))
           .collect()
+        scored.unpersist()
+        val grads = rows.filter(_.getLong(0) >= 0L)
           .map(r => r.getLong(0).toInt -> r.getDecimal(1))
           .toMap
-        val gbu = scored.agg(sum((pu - yu).cast("decimal(38,0)")))
-          .first().getDecimal(0)
-        scored.unpersist()
+        // Σ(d·10⁶) is divisible by 10⁶ by construction — exact division
+        val gbu = rows.find(_.getLong(0) == -1L)
+          .map(_.getDecimal(1)
+            .divide(java.math.BigDecimal.valueOf(1000000L)))
+          .getOrElse(java.math.BigDecimal.ZERO)
         w = w.indices.map(b =>
           round6(w(b) - lr * grads.get(b)
             .map(_.doubleValue / 1e12).getOrElse(0.0) / n)).toArray
