@@ -93,10 +93,17 @@ object GraphMetrics {
     val wedges = e1.join(e2, Seq("src")).where(vLower)
       .select(col("v"), col("w"))
 
+    // wedge and triangle tallies in ONE pass: the directed edge set is
+    // unique per (v, w) (canonical + oriented), so a left join with a
+    // match marker counts each wedge exactly once and each closed wedge
+    // exactly once — two driver actions fused into one
     val closing = directed.select(col("src").as("v"), col("dst").as("w"))
-    val nTriangles = wedges.join(closing, Seq("v", "w"), "left_semi")
-      .count()
-    val nWedges = wedges.count()
+      .withColumn("hit", lit(1))
+    val wt = wedges.join(closing, Seq("v", "w"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
+      .head()
+    val nWedges = wt.getLong(0)
+    val nTriangles = wt.getLong(1)
     val nEdges = directed.count()
     val nNodes = deg.count()
     directed.unpersist()
