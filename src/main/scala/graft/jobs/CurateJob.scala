@@ -241,13 +241,19 @@ object CurateJob {
         .where(col("rn") === 1).drop("rn")
     }
 
+    // the shingle table feeds the banding pass AND four subtrees of the
+    // exact-Jaccard verify; persisted for the duration of the stage commit
+    // (the commit inside `stage` materializes the result, so the cache is
+    // both used and safely released right after)
+    val shForPairs = Dedup.withShingles(
+      exactKept.select(col("doc_id"), col("text")), n = 5).persist()
     val pairs = stage(io, spark, "neardup_pairs", a.resume, Seq.empty) {
-      val sh = Dedup.withShingles(
-        exactKept.select(col("doc_id"), col("text")), n = 5)
-      Dedup.verifyJaccardSh(sh,
-        Dedup.minhashLshSh(sh, numHashes = 64, bands = 32, threshold = 0.0),
+      Dedup.verifyJaccardSh(shForPairs,
+        Dedup.minhashLshSh(shForPairs, numHashes = 64, bands = 32,
+          threshold = 0.0),
         threshold = a.threshold)
     }
+    shForPairs.unpersist()
 
     val clusters = stage(io, spark, "clusters", a.resume, Seq.empty) {
       Dedup.clusterNearDups(spark, pairs.select(
