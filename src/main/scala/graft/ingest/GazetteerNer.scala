@@ -32,12 +32,32 @@ object GazetteerNer {
 
   final case class Match(start: Int, end: Int, name: String, tpe: String)
 
-  /** Trie over lowercased surfaces; values carry the canonical-case name. */
+  /** Trie over lowercased surfaces; values carry the canonical-case name.
+    * Children are a direct-indexed ASCII array (plus a map fallback for
+    * non-ASCII keys): the scan probes the trie once per text character,
+    * and a boxed HashMap[Char, _] lookup there was the single hottest
+    * operation of the whole NER/relations extraction path. Node count is
+    * gazetteer-surface-bounded (tiny), so the 128-slot arrays cost
+    * nothing.
+    */
   final class Trie {
     private val root = new TrieNode
     final class TrieNode {
-      val next = new mutable.HashMap[Char, TrieNode]
+      private val ascii = new Array[TrieNode](128)
+      private var wide: mutable.HashMap[Char, TrieNode] = null
       var hit: Option[(String, String)] = None // (surface, type)
+      def get(c: Char): TrieNode =
+        if (c < 128) ascii(c)
+        else if (wide == null) null
+        else wide.getOrElse(c, null)
+      def getOrCreate(c: Char): TrieNode =
+        if (c < 128) {
+          if (ascii(c) == null) ascii(c) = new TrieNode
+          ascii(c)
+        } else {
+          if (wide == null) wide = new mutable.HashMap[Char, TrieNode]
+          wide.getOrElseUpdate(c, new TrieNode)
+        }
     }
     def add(surface: String, tpe: String): Unit = {
       var n = root
@@ -46,7 +66,7 @@ object GazetteerNer {
       // sensitive (Turkish 'I' → 'ı') and can change length, which would
       // desynchronize build-time keys from probe-time folding
       surface.foreach { c =>
-        n = n.next.getOrElseUpdate(Character.toLowerCase(c), new TrieNode)
+        n = n.getOrCreate(Character.toLowerCase(c))
       }
       n.hit = Some((surface, tpe))
     }
@@ -61,17 +81,19 @@ object GazetteerNer {
       var best: Option[Match] = None
       var continue = true
       while (continue && j < text.length) {
-        // single hash lookup per char (contains+apply was two)
-        n.next.getOrElse(Character.toLowerCase(text.charAt(j)), null) match {
-          case null => continue = false
-          case nx =>
-            n = nx
-            j += 1
-            n.hit.foreach { case (surface, tpe) =>
-              val endOk = j >= text.length ||
-                !Character.isLetterOrDigit(text.charAt(j))
-              if (endOk) best = Some(Match(i, j, surface, tpe))
+        val nx = n.get(Character.toLowerCase(text.charAt(j)))
+        if (nx == null) continue = false
+        else {
+          n = nx
+          j += 1
+          if (n.hit.isDefined) {
+            val endOk = j >= text.length ||
+              !Character.isLetterOrDigit(text.charAt(j))
+            if (endOk) {
+              val (surface, tpe) = n.hit.get
+              best = Some(Match(i, j, surface, tpe))
             }
+          }
         }
       }
       best
