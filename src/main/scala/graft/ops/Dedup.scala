@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for a large-scale training-data pipeline, over a
   * documents table (doc_id, text, ...).
@@ -57,33 +59,47 @@ object Dedup {
       .where(col("dup_count") > 1)
 
   /** Compiled shingling kernel (distinct word n-grams of the lowercased
-    * text): the column-HOF formulation (transform + slice per position) is
-    * interpreted row-by-row and was ~30x slower.
+    * text, each hashed to its 64-bit xxhash64 IN the kernel): the
+    * column-HOF formulation (transform + slice per position) is interpreted
+    * row-by-row and was ~30x slower. Hashing here instead of downstream is
+    * the shuffle-fewer-bytes rule applied once for every consumer: the
+    * inverted index, the MinHash signature aggregation and the exact-
+    * Jaccard verify all key on the 64-bit hash anyway, so the n-gram STRING
+    * never leaves the kernel — the shingle table shrinks ~4x and the
+    * signature pass hashes 8-byte longs instead of re-hashing ~30-byte
+    * strings 64 times. XXH64.hashUTF8String(seed 42) is bit-equal to the
+    * SQL `xxhash64(stringCol)` these consumers used to apply (pinned by an
+    * OpsSpec test), so hash-keyed outputs are unchanged.
     */
   private def shingleArr(n: Int) = udf { (text: String) =>
     // Scala UDFs receive raw nulls for AnyRef args — a null-text document
     // must not kill the whole dedup job
-    if (text == null) Array.empty[String]
+    if (text == null) Array.empty[Long]
     else {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.length >= n)
         Iterator.range(0, toks.length - n + 1)
-          .map(i => toks.slice(i, i + n).mkString(" "))
+          .map(i => XXH64.hashUTF8String(
+            UTF8String.fromString(toks.slice(i, i + n).mkString(" ")), 42L))
           .toSet.toArray
-      else Array.empty[String]
+      else Array.empty[Long]
     }
   }
 
-  /** (doc_id, sh): each doc's distinct n-gram shingle set, computed once by
-    * the compiled kernel. doc_id keeps its ORIGINAL type (long testdata ids
-    * and string sha2 ids both work). Callers that run several dedup
-    * variants over one corpus should persist this and pass it to the
-    * `*Sh` entry points — one text scan serves them all.
+  /** (doc_id, sh): each doc's distinct n-gram shingle set as 64-bit
+    * xxhash64 values (see shingleArr — collisions are negligible at any
+    * realistic distinct-shingle count, the same posture as lineDedupStats),
+    * computed once by the compiled kernel. doc_id keeps its ORIGINAL type
+    * (long testdata ids and string sha2 ids both work). Callers that run
+    * several dedup variants over one corpus should persist this and pass it
+    * to the `*Sh` entry points — one text scan serves them all.
     */
   def withShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), shingleArr(n)(col("text")).as("sh"))
 
-  /** Inverted shingle index rows (doc_id, sh_size, shingle). */
+  /** Inverted shingle index rows (doc_id, sh_size, shingle) — `shingle` is
+    * the kernel's 64-bit xxhash64 of the n-gram, see withShingles.
+    */
   def shingleRows(docs: DataFrame, n: Int): DataFrame =
     shingleRowsSh(withShingles(docs, n))
 
@@ -98,11 +114,12 @@ object Dedup {
     * frequency cap (they contribute negligible Jaccard evidence but
     * quadratic pairs).
     *
-    * Physical shape: the index joins on xxhash64(shingle) — an 8-byte
+    * Physical shape: the index joins on the shingle's xxhash64 — an 8-byte
     * shuffle key instead of the n-gram string (64-bit collisions are
-    * negligible at any realistic distinct-shingle count) — and the hot-
-    * shingle cap is a broadcast ANTI join against the (tiny) hot set
-    * rather than an inner join against the (huge) cold set.
+    * negligible at any realistic distinct-shingle count; the hashing
+    * happens once, in the shingling kernel) — and the hot-shingle cap is a
+    * broadcast ANTI join against the (tiny) hot set rather than an inner
+    * join against the (huge) cold set.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 4, threshold: Double = 0.6,
       maxShingleDf: Long = 1000L): DataFrame =
@@ -111,7 +128,7 @@ object Dedup {
   def ngramJaccardSh(docsSh: DataFrame, threshold: Double = 0.6,
       maxShingleDf: Long = 1000L): DataFrame = {
     val inv = shingleRowsSh(docsSh)
-      .select(col("doc_id"), col("sh_size"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), col("sh_size"), col("shingle").as("h"))
     val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > lit(maxShingleDf))
     val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
@@ -133,9 +150,11 @@ object Dedup {
   // the measured 30x/50x interpreted-vs-codegen numbers that killed it are
   // recorded at shingleArr and minhashLshSh below, which are the one
   // maintained path. The i-th "permutation" is the seeded combined hash
-  // xxhash64(shingle, i): hash composition instead of an affine transform —
-  // identical independence properties, and no long-multiply overflow under
-  // ANSI mode.)
+  // xxhash64(shingle_hash, i) over the kernel's 64-bit shingle hash: hash
+  // composition instead of an affine transform — identical independence
+  // properties, no long-multiply overflow under ANSI mode, and each of the
+  // 64 evaluations hashes 8 fixed bytes instead of re-hashing the ~30-byte
+  // n-gram string.)
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; estimated Jaccard = fraction of equal signature positions;
@@ -179,20 +198,31 @@ object Dedup {
       // longs)/doc, ~0.5 KB/doc; long-lived multi-job sessions that care
       // should clearCache() between jobs (Bench's children do)
       .persist()
+    // bucket key = xxhash64 over the band's signature slice passed as
+    // DIRECT long arguments (bucket equality ⇔ slice equality, modulo a
+    // 64-bit collision — the same grouping semantics as hashing the
+    // stringified slice, at a fraction of the expression tree: the
+    // previous concat_ws-over-cast-to-string formulation was both slower
+    // per row and the dominant Janino codegen-compile cost of the whole
+    // candidate pass)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, rows),
-              x => x.cast("string")))).as("bucket"))
+          xxhash64((0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // hot buckets: tiny by construction (≤ |banded| / maxBucketSize rows)
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bc"))
+    // hot buckets WITH their hub in one aggregate (tiny by construction:
+    // ≤ |banded| / maxBucketSize rows; agg state is 16 bytes/group — the
+    // hub SIGNATURE is fetched afterwards by a broadcast join against the
+    // banded rows rather than carried as min_by agg state, which would put
+    // a 64-long array per group into every partial-agg hash map)
+    val hot0 = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("hub_id"))
       .where(col("bc") > lit(maxBucketSize))
-      .select(col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("hub_id"))
+    val hot = hot0.select(col("band"), col("bucket"))
     val cold = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val l = cold.select(col("band"), col("bucket"),
       col("doc_id").as("id1"), col("sig").as("sig1"))
@@ -205,9 +235,10 @@ object Dedup {
     // star pairs for over-cap buckets: hub = min doc_id (so hub < member
     // always holds in the id ordering and the (id1 < id2) invariant stands)
     val hotRows = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
-    val hubs = hotRows.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("hub_id"),
-        min_by(col("sig"), col("doc_id")).as("hub_sig"))
+    val hubs = banded.join(broadcast(hot0),
+        Seq("band", "bucket")).where(col("doc_id") === col("hub_id"))
+      .select(col("band"), col("bucket"), col("hub_id"),
+        col("sig").as("hub_sig"))
     val starPairs = hotRows.join(broadcast(hubs), Seq("band", "bucket"))
       .where(col("doc_id") =!= col("hub_id"))
       .select(col("hub_id").as("id1"), col("doc_id").as("id2"),
@@ -234,11 +265,11 @@ object Dedup {
 
   def verifyJaccardSh(docsSh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
-    // shingles hashed to 64-bit longs: the per-pair intersect then compares
-    // longs instead of UTF8 strings (same trick as the ngramJaccard inverted
-    // index, which is DuckDB-verified collision-free on this corpus)
-    val sets = docsSh.select(col("doc_id"),
-      transform(col("sh"), s => xxhash64(s)).as("sh"))
+    // shingles arrive as 64-bit longs straight from the shingling kernel:
+    // the per-pair intersect compares longs, not UTF8 strings (same values
+    // the pre-hashed table carries everywhere; DuckDB-verified
+    // collision-free on this corpus)
+    val sets = docsSh.select(col("doc_id"), col("sh"))
     // size screen before shipping arrays: J(A,B) <= min/max sizes, so a
     // pair whose sizes are farther apart than the threshold ratio cannot
     // qualify — only ids travel through this filter
@@ -306,11 +337,12 @@ object Dedup {
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
       .select(col("doc_id"), col("is_new"),
+        // direct-long bucket hash, same formulation (and rationale) as
+        // minhashLshSh's banding
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("sig"), b * rows + 1, rows),
-                x => x.cast("string")))).as("bucket"))
+            xxhash64((0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1)): _*).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("is_new"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
@@ -359,10 +391,13 @@ object Dedup {
     val oldBB = bb.where(!col("is_new")).drop("is_new")
     val newBB = bb.where(col("is_new")).drop("is_new")
     val allBB = bb.drop("is_new")
-    val hot = allBB.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bc"))
+    // bucket count and star hub in ONE aggregate (16-byte agg state; see
+    // minhashLshSh's hot0 for the rationale)
+    val hot0 = allBB.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("hub_id"))
       .where(col("bc") > lit(maxBucketSize))
-      .select(col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("hub_id"))
+    val hot = hot0.select(col("band"), col("bucket"))
     val coldNew = newBB.join(broadcast(hot), Seq("band", "bucket"),
       "left_anti")
     val coldAll = allBB.join(broadcast(hot), Seq("band", "bucket"),
@@ -376,9 +411,7 @@ object Dedup {
         greatest(col("nid"), col("oid")).as("id2"))
     val hotNew = newBB.join(broadcast(hot), Seq("band", "bucket"),
       "left_semi")
-    val hubs = allBB.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
-      .groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("hub_id"))
+    val hubs = hot0
     // star edges: every NEW member pairs with the hub (new-touching by
     // construction)...
     val starPairs = hotNew.join(broadcast(hubs), Seq("band", "bucket"))
@@ -576,11 +609,13 @@ object Dedup {
     * also occur in the eval set.
     *
     * Scale shape: eval corpora are benchmark-sized, so their distinct
-    * shingle set is BROADCAST; the train corpus streams through one
-    * narrow shingle pass, a broadcast hash join, and one (doc_id)
-    * map-side-combined aggregate. The train text is never shuffled and
-    * no pair explosion exists — cost is O(train shingles) regardless of
-    * corpus size.
+    * shingle set is BROADCAST (8-byte hashes, not n-gram strings — the
+    * DuckDB oracle joins on the raw n-gram text instead, so a green row
+    * also cross-checks the hashing, modulo a 64-bit collision); the train
+    * corpus streams through one narrow shingle pass, a broadcast hash
+    * join, and one (doc_id) map-side-combined aggregate. The train text
+    * is never shuffled and no pair explosion exists — cost is
+    * O(train shingles) regardless of corpus size.
     */
   def decontaminate(train: DataFrame, evalDf: DataFrame,
       n: Int = 8): DataFrame = {

@@ -26,6 +26,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("dup_count") === 2L)
   }
 
+  test("shingle kernel hashes are bit-equal to SQL xxhash64 of the n-gram") {
+    // withShingles now hashes each distinct n-gram inside the kernel; the
+    // hash-keyed consumers (inverted index, verify) previously applied SQL
+    // xxhash64(string) themselves, so the kernel MUST reproduce it exactly
+    val d = Seq((1L, "Alpha beta GAMMA delta epsilon")).toDF("doc_id", "text")
+    val got = Dedup.withShingles(d, 3)
+      .select(explode(col("sh"))).collect().map(_.getLong(0)).toSet
+    val grams = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon")
+    val want = grams.toDF("g")
+      .select(xxhash64(col("g"))).collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("ngram jaccard finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
