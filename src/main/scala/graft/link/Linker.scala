@@ -105,6 +105,12 @@ object Linker {
     // full extra exchange of the keyed rows, pure serial fraction)
     val bucketCounts = keyedAll.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bcount"))
+    // NOT checkpointed although both join sides duplicate this subtree:
+    // the duplicate work (key explode + bucket-count agg over 3 rows per
+    // entity) is small next to the pair stream, and an eager checkpoint
+    // here SERIALIZES the two sides' broadcast builds, which Spark
+    // otherwise runs concurrently (measured: the checkpoint variant was
+    // ~0.5 s slower on the 20k-doc build)
     val keyed = keyedAll.join(broadcast(bucketCounts), Seq("bkey"))
       .where(col("bcount") <= lit(maxBucketSize))
       .drop("bcount")
@@ -133,7 +139,12 @@ object Linker {
     // pass broadcastFeatures=false when the entity table itself outgrows
     // executor memory — the id-keyed join is uniform, so the shuffle path
     // has no skew.
+    // checkpointed so the per-entity featUdf pass runs once, not once per
+    // broadcast build (the id1 and id2 joins each build their own
+    // broadcast relation — the alias-renamed projections defeat exchange
+    // reuse — but both now read the same materialized feature blocks)
     val featTable = e.select(col("entity_id"), featUdf(col("name")).as("feat"))
+      .localCheckpoint(true)
     val feats = if (broadcastFeatures) broadcast(featTable) else featTable
     val blockSlack = Const.EmbThreshold * Const.BlockingSlack
     val pairs = rawPairs

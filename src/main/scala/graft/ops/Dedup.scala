@@ -78,10 +78,13 @@ object Dedup {
     else {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.length >= n)
+        // sorted ascending: the exact-Jaccard verify intersects these with
+        // a two-pointer merge kernel (SortedInterCount), and a sorted array
+        // is also a deterministic cache/shuffle representation
         Iterator.range(0, toks.length - n + 1)
           .map(i => XXH64.hashUTF8String(
             UTF8String.fromString(toks.slice(i, i + n).mkString(" ")), 42L))
-          .toSet.toArray
+          .toSet.toArray.sorted
       else Array.empty[Long]
     }
   }
@@ -280,10 +283,22 @@ object Dedup {
       .where(least(col("n1"), col("n2")).cast("double") >=
         lit(threshold) * greatest(col("n1"), col("n2")))
       .select("id1", "id2")
+    // intersection via the native two-pointer kernel over the SORTED
+    // arrays: the Jaccard predicate gets pushed into the pair join's
+    // condition with its intersect subexpression duplicated (numerator +
+    // union denominator, then again in the output projection), and each
+    // size(array_intersect(...)) evaluation built a per-row hash set and a
+    // result array — on a candidate-heavy generator (q_dedup_simhash emits
+    // ~116k Hamming-<=7 candidates at sf0.1) that was most of the verify's
+    // cost. The kernel walk is allocation-free, so even duplicated
+    // evaluations are cheap; values are identical (both count the distinct
+    // common elements; withShingles arrays are distinct by construction)
+    val interC = graft.functions.SortedInterCount.sortedInterCount(
+      col("sh1"), col("sh2"))
     screened
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", interC.cast("int"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
       .where(col("jaccard") >= lit(threshold))

@@ -40,6 +40,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sorted_inter_count equals size(array_intersect) on shingle sets") {
+    // the verify kernel must count exactly what array_intersect counted —
+    // over every doc pair of the fixture corpus, including disjoint sets
+    // and the identical pair
+    val sh = Dedup.withShingles(docs, 3)
+    val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val got = a.crossJoin(b).where(col("id1") <= col("id2"))
+      .select(
+        graft.functions.SortedInterCount.sortedInterCount(
+          col("sh1"), col("sh2")).as("k"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("s"))
+      .collect()
+    assert(got.nonEmpty && got.exists(_.getLong(0) > 0))
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("ngram jaccard finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
