@@ -64,8 +64,15 @@ object GraphMetrics {
     */
   def triangleStats(edges: DataFrame, srcCol: String = "subj",
       dstCol: String = "obj"): DataFrame = {
-    val canon = canonicalEdges(edges, srcCol, dstCol)
-    val deg = degrees(edges, srcCol, dstCol).persist()
+    // canonical edges persisted: the distinct() shuffle otherwise runs
+    // twice — once under the degree aggregate and once under the
+    // orientation join
+    val canon = canonicalEdges(edges, srcCol, dstCol).persist()
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .persist()
 
     // rank nodes by (degree, id); orient each edge low -> high
     val withDeg = canon
@@ -104,10 +111,17 @@ object GraphMetrics {
       .head()
     val nWedges = wt.getLong(0)
     val nTriangles = wt.getLong(1)
-    val nEdges = directed.count()
-    val nNodes = deg.count()
+    // node and edge tallies in one driver action: both frames are
+    // persisted, so a union of their two scalar aggregates is two cached
+    // scans in a single job instead of two separately scheduled counts
+    val ne = deg.agg(count(lit(1)).as("n"))
+      .unionAll(directed.agg(count(lit(1)).as("n")))
+      .collect()
+    val nNodes = ne(0).getLong(0)
+    val nEdges = ne(1).getLong(0)
     directed.unpersist()
     deg.unpersist()
+    canon.unpersist()
 
     val spark = edges.sparkSession
     import spark.implicits._
