@@ -33,11 +33,12 @@ object Pipeline {
       components: DataFrame,
       nodes: DataFrame,
       edges: DataFrame,
-      mentionsFinal: DataFrame) {
+      mentionsFinal: DataFrame,
+      mapping: DataFrame) {
     /** Release every cached intermediate. */
     def unpersistAll(): Unit = {
       chunks.unpersist(); mentions.unpersist(); triples.unpersist()
-      entities.unpersist(); dupPairs.unpersist()
+      entities.unpersist(); dupPairs.unpersist(); mapping.unpersist()
     }
   }
 
@@ -73,11 +74,19 @@ object Pipeline {
     val components = ConnectedComponents.run(spark,
       dupPairs.select(col("id1"), col("id2")))
     val nodes = Canonicalize.nodes(entities, components)
+    // persisted (lazily — the first rewrite's broadcast build materializes
+    // it, the second reads the cache): both endpoint rewrites broadcast
+    // this table, and without the cache each broadcast build re-runs the
+    // mapping's two joins against the FULL entity table — the merged
+    // subset is orders of magnitude smaller than what computes it. Session
+    // lifetime matches the other pipeline caches (Result.unpersistAll
+    // releases it).
     val mapping = Canonicalize.mapping(entities, components)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = Canonicalize.rewriteTriples(spark, triples, mapping)
     val mentionsFinal = Canonicalize.rewriteMentions(mentions, mapping)
     Result(chunks, mentions, triples, entities, dupPairs, components,
-      nodes, edges, mentionsFinal)
+      nodes, edges, mentionsFinal, mapping)
   }
 
   /** End-to-end over the deterministic synthetic corpus. */

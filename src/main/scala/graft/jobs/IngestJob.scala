@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Pipeline
 import graft.canon.{Canonicalize, ConnectedComponents}
@@ -140,7 +141,11 @@ object IngestJob {
       Canonicalize.nodes(entities, components)
     }
 
+    // persisted: both rewrite stages broadcast the mapping, and each
+    // stage commit would otherwise re-run its joins against the full
+    // entity table (same rationale as Pipeline.fromChunks)
     val mapping = Canonicalize.mapping(entities, components)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     stage(io, spark, "edges", a.resume, Seq("pred")) {
       Canonicalize.rewriteTriples(spark, triples, mapping)
@@ -149,6 +154,7 @@ object IngestJob {
     stage(io, spark, "mentions_final", a.resume, Seq("bucket")) {
       withBucket(Canonicalize.rewriteMentions(mentions, mapping), a.buckets)
     }
+    mapping.unpersist()
 
     io
   }
