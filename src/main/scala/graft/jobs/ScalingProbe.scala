@@ -81,6 +81,17 @@ object ScalingProbe {
     timeSec("mentions_fin") {
       Canonicalize.rewriteMentions(mentions, mapping).count()
     }
+    // SPARK_GRAFT_PROBE_PLANS=DIR → dump the rewrite's formatted plan (the
+    // narrow-path/aggregate split is a build-internal frame no SparkEntry
+    // query exposes directly)
+    sys.env.get("SPARK_GRAFT_PROBE_PLANS").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "kg_mentions_final_build.txt"),
+        Canonicalize.rewriteMentions(mentions, mapping).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -68,6 +68,10 @@ object StageProbe {
         .persist(StorageLevel.MEMORY_AND_DISK)
       t.count(); t
     }
+    timeSec("rel_dedup_rep2") {
+      RelationPatterns.dedup(RelationPatterns.extract(spark, chunks))
+        .write.format("noop").mode("overwrite").save()
+    }
     val entities = timeSec("entities") {
       val e = Linker.entities(mentions).persist(StorageLevel.MEMORY_AND_DISK)
       val n = e.count(); println(s"[probe]   n_entities=$n"); e
@@ -78,6 +82,9 @@ object StageProbe {
     }
     timeSec("verdicts") {
       Linker.verdicts(cands).write.format("noop").mode("overwrite").save()
+    }
+    timeSec("candidates_rep2") {
+      Linker.candidates(entities).write.format("noop").mode("overwrite").save()
     }
     println(s"[probe] triples=${triples.count()}")
     if (ui) {
