@@ -127,9 +127,15 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
 
   private def kg(s: SparkSession, nDocs: Long): Pipeline.Result =
-    kgCache.computeIfAbsent(s"${s.hashCode()}:$nDocs", _ => {
+    kgCache.computeIfAbsent(s"${s.hashCode()}:$nDocs", key => {
       val r = Pipeline.runSynth(s, nDocs, seed = KgSeed, cfg = KgCfg)
       r.edges.persist(); r.nodes.persist(); r.mentionsFinal.persist()
+      // releasable between jobs without clearCache() (VERDICT r5 #4):
+      // the thunk also evicts the memo entry so a later query rebuilds
+      graft.core.SessionCaches.registerThunk(s) { () =>
+        r.unpersistAll(); r.edges.unpersist(); r.nodes.unpersist()
+        r.mentionsFinal.unpersist(); kgCache.remove(key); ()
+      }
       r
     })
 
@@ -151,18 +157,27 @@ object SparkEntry {
   private val shCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    shCache.computeIfAbsent(key, k => {
+      val df = build.persist()
+      graft.core.SessionCaches.registerThunk(s) { () =>
+        df.unpersist(); shCache.remove(k); ()
+      }
+      df
+    })
+
   private def shingled(s: SparkSession, dir: String, n: Int): DataFrame =
-    shCache.computeIfAbsent(s"${s.hashCode()}:$dir:$n", _ =>
-      Dedup.withShingles(s.read.parquet(docsPath(dir)), n).persist())
+    memo(s, s"${s.hashCode()}:$dir:$n")(
+      Dedup.withShingles(s.read.parquet(docsPath(dir)), n))
 
   /** Memoized MinHash band candidates (threshold 0, 64 hashes x 32 bands):
     * one signature pass serves both the minhash dedup query and the
     * simhash query's provable-recall floor.
     */
   private def minhashCands(s: SparkSession, dir: String): DataFrame =
-    shCache.computeIfAbsent(s"${s.hashCode()}:$dir:mhcands", _ =>
+    memo(s, s"${s.hashCode()}:$dir:mhcands")(
       Dedup.minhashLshSh(shingled(s, dir, 5), numHashes = 64, bands = 32,
-        threshold = 0.0).persist())
+        threshold = 0.0))
 
   /** Force the memoized shared shingle + MinHash-candidate tables (Bench
     * times this build apart from the dedup queries that consume it, so the
@@ -181,11 +196,10 @@ object SparkEntry {
     * ingest job would materialize anyway.
     */
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    shCache.computeIfAbsent(s"${s.hashCode()}:$dir:media", _ => {
+    memo(s, s"${s.hashCode()}:$dir:media") {
       val docs = graft.synth.CorpusSynth.docs(s, kgDocs(dir), KgSeed)
       Multimodal.extractFeatures(s, Multimodal.mediaTable(s, docs)).toDF()
-        .persist()
-    })
+    }
 
   /** Force the memoized media-features table (timed separately by Bench,
     * like `warmShingles`, so the alphabetically-first media query doesn't

@@ -191,16 +191,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val inv = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sig = inv.groupBy(col("doc_id"))
+    val sig = graft.core.SessionCaches.register(inv.groupBy(col("doc_id"))
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("s"), lit(i)))): _*).as("sig"))
       // persisted WITHOUT a matching unpersist: the returned pair frame is
       // lazy, so the cache must outlive this function (unpersisting here
-      // would drop it before the caller's action). The blocks live until
-      // the session ends or the caller clears them — (doc_id + numHashes
-      // longs)/doc, ~0.5 KB/doc; long-lived multi-job sessions that care
-      // should clearCache() between jobs (Bench's children do)
-      .persist()
+      // would drop it before the caller's action). (doc_id + numHashes
+      // longs)/doc, ~0.5 KB/doc; registered with SessionCaches so a
+      // long-lived multi-job session can release it structurally between
+      // jobs (graft.core.SessionCaches.release) instead of clearCache()
+      .persist())
     // bucket key = xxhash64 over the band's signature slice passed as
     // DIRECT long arguments (bucket equality ⇔ slice equality, modulo a
     // 64-bit collision — the same grouping semantics as hashing the
@@ -506,12 +506,13 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val withSim = docs.select(col("doc_id"),
-      graft.functions.SimHash64.simhash64(col("text")).as("sim"))
-      // session-lifetime persist, same rationale as minhashLshSh's sig:
-      // the returned frame is lazy, so no in-function unpersist is possible;
-      // 16 bytes/doc
-      .persist()
+    val withSim = graft.core.SessionCaches.register(
+      docs.select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("text")).as("sim"))
+        // session-lifetime persist, same rationale as minhashLshSh's sig:
+        // the returned frame is lazy, so no in-function unpersist is
+        // possible; 16 bytes/doc, releasable via SessionCaches.release
+        .persist())
     val banded = withSim.select(col("doc_id"), col("sim"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

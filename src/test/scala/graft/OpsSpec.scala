@@ -40,6 +40,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("session-lifetime dedup caches release through SessionCaches") {
+    // minhashLshSh persists its signature table for the lifetime of the
+    // returned lazy frame; the registry must free those blocks on demand
+    val during0 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashLshSh(Dedup.withShingles(docs, 3), numHashes = 64,
+      bands = 32, threshold = 0.0).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > during0)
+    val released = graft.core.SessionCaches.release(spark)
+    assert(released >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.size <= during0)
+    // idempotent: nothing left registered for this session
+    assert(graft.core.SessionCaches.release(spark) === 0)
+  }
+
   test("sorted_inter_count equals size(array_intersect) on shingle sets") {
     // the verify kernel must count exactly what array_intersect counted —
     // over every doc pair of the fixture corpus, including disjoint sets
