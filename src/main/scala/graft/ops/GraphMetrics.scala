@@ -64,15 +64,13 @@ object GraphMetrics {
     */
   def triangleStats(edges: DataFrame, srcCol: String = "subj",
       dstCol: String = "obj"): DataFrame = {
-    // canonical edges persisted: the distinct() shuffle otherwise runs
-    // twice — once under the degree aggregate and once under the
-    // orientation join
-    val canon = canonicalEdges(edges, srcCol, dstCol).persist()
-    val deg = canon
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("degree"))
-      .persist()
+    // canon NOT persisted although its distinct() runs under both the
+    // degree aggregate and the orientation join: an eager cache here
+    // serializes work Spark otherwise overlaps, and measured ~0.5 s SLOWER
+    // on the sf0.1 gate query — the duplicate distinct is the cheaper evil
+    // (same lesson as the linking keyed-table checkpoint, Linker.scala)
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degrees(edges, srcCol, dstCol).persist()
 
     // rank nodes by (degree, id); orient each edge low -> high
     val withDeg = canon
@@ -121,7 +119,6 @@ object GraphMetrics {
     val nEdges = ne(1).getLong(0)
     directed.unpersist()
     deg.unpersist()
-    canon.unpersist()
 
     val spark = edges.sparkSession
     import spark.implicits._
