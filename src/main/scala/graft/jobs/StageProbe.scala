@@ -86,6 +86,11 @@ object StageProbe {
     timeSec("candidates_rep2") {
       Linker.candidates(entities).write.format("noop").mode("overwrite").save()
     }
+    // total Janino wall time this JVM spent compiling generated code — the
+    // direct measurement of the codegen share of the per-child fixed slice
+    val cm = org.apache.spark.metrics.source.CodegenMetrics
+    println(f"[probe] codegen_compile   ${cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.map(_.toDouble).sum / 1000}%8.2f s over ${cm.METRIC_COMPILATION_TIME.getCount} compiles, " +
+      f"${cm.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getSnapshot.getValues.map(_.toDouble).sum / 1e6}%.1f MB bytecode")
     println(s"[probe] triples=${triples.count()}")
     if (ui) {
       println(s"[probe] ui=${spark.sparkContext.uiWebUrl.getOrElse("")}")
