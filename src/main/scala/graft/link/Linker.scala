@@ -147,15 +147,20 @@ object Linker {
       .localCheckpoint(true)
     val feats = if (broadcastFeatures) broadcast(featTable) else featTable
     val blockSlack = Const.EmbThreshold * Const.BlockingSlack
+    // the two feature joins reference the SAME unaliased `feats` frame and
+    // rename on the join OUTPUT: pre-join alias projections (the previous
+    // formulation) make the two broadcast subplans canonicalize unequal,
+    // so each join built and collected its own copy of the feature
+    // relation — with the aliases outside the exchange, ReuseExchange
+    // ships it once (one driver collect instead of two, fixed cost at
+    // every scale)
     val pairs = rawPairs
-      .join(feats.select(col("entity_id").as("id1f"),
-        col("feat._1").as("fi1"), col("feat._2").as("fv1")),
-        col("id1") === col("id1f"))
-      .join(feats.select(col("entity_id").as("id2f"),
-        col("feat._1").as("fi2"), col("feat._2").as("fv2")),
-        col("id2") === col("id2f"))
+      .join(feats, col("id1") === feats("entity_id"))
+      .withColumnRenamed("entity_id", "id1f")
+      .withColumnRenamed("feat", "feat1")
+      .join(feats, col("id2") === feats("entity_id"))
       .withColumn("emb_sim", graft.functions.SparseDot.sparseDot(
-        col("fi1"), col("fv1"), col("fi2"), col("fv2")))
+        col("feat1._1"), col("feat1._2"), col("feat._1"), col("feat._2")))
       .where(col("emb_sim") >= lit(blockSlack))
       .select(col("id1"), col("name1"), col("id2"), col("name2"),
         col("entity_type"), col("emb_sim"))
